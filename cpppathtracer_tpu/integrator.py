@@ -1,0 +1,159 @@
+"""Monte-Carlo path integrator — wavefront `lax.scan` over bounces.
+
+Re-designs the reference's per-pixel megakernel (`SamplePixel`,
+`cuSrc/path_tracer.cu:124-175`) as a wavefront: the whole pixel grid's rays
+advance one bounce per scan step, dead rays masked.  On TPU there is no
+per-lane divergence, so megakernel-vs-wavefront collapses into "vectorize
+everything" — one fused XLA program per bounce with zero host syncs
+(the reference needs a `cudaDeviceSynchronize` between kernels,
+`path_tracer.cu:279-294`).
+
+Loop semantics matched exactly (`path_tracer.cu:141-170`):
+  radiance += throughput * (hit ? emit*kd : sky(dir))       (:156)
+  throughput *= attenuation                                 (:157)
+  miss terminates the path (Miss sets depth = 32, :121)
+  next ray: origin = hit_pos, dir = normalize(bounce_dir),
+            tmin = BOUNCE_RAY_TMIN (2e-5), tmax = 1e30      (:165-168)
+  paths surviving max_recursion_depth bounces are truncated with no sky
+  contribution (loop simply ends).
+
+First-bounce aux buffers for the denoiser (`path_tracer.cu:159-163`):
+normal = first-hit normal (miss: -ray.dir, :152).  NOTE the reference
+intends to record hit depth but passes its Ray by value into TraceRay
+(`bvh.cu:167`), so its depth buffer is the constant DEFAULT_RAY_TMAX; we
+record the actual first-hit t, which strictly improves the denoiser's
+edge-stopping (the reference's depth weight degenerates to 1).
+
+Differentiability: the scan body is `jax.checkpoint`ed (recompute in the
+backward sweep — the rendering analog of gradient rematerialization), and
+sampling uses detached discrete decisions (see ops/bsdf.py).  Gradients
+flow to material parameters, emitter intensities, the sky texture, and
+camera/geometry parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cpppathtracer_tpu.models.camera import Camera
+from cpppathtracer_tpu.ops import bsdf, intersect, mathx, texture
+from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX, Rays
+from cpppathtracer_tpu.utils import rng as prng
+
+
+def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int):
+    """Integrate `max_depth` bounces for a wavefront of primary rays.
+
+    Returns (radiance f32[R,3], first_normal f32[R,3], first_t f32[R]).
+    """
+    batch = pixel_idx.shape
+
+    @jax.checkpoint
+    def body(carry, bounce):
+        origin, direction, throughput, radiance, alive, first_n, first_t = carry
+        cur = Rays(
+            origin=origin,
+            dir=direction,
+            tmin=jnp.where(bounce == 0, 0.0, BOUNCE_RAY_TMIN) * jnp.ones(batch, jnp.float32),
+            tmax=jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32),
+        )
+        hit = intersect.intersect(scene, cur)
+        mats = bsdf.gather_materials(scene, hit.obj_idx)
+        u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + bounce)
+        bounce_dir, attenuation, emitted = bsdf.shade(
+            mats, hit.normal, direction, u1, u2, u3
+        )
+        sky = texture.sample_sky(sky_tex, direction)
+        contrib = jnp.where(hit.hit[..., None], emitted, sky)
+        radiance = radiance + throughput * contrib * alive[..., None]
+        throughput = jnp.where(
+            (hit.hit & alive)[..., None], throughput * attenuation, throughput
+        )
+
+        # First-bounce denoiser aux (miss normal = -dir, path_tracer.cu:152).
+        n0 = jnp.where(hit.hit[..., None], hit.normal, -direction)
+        t0 = jnp.where(hit.hit, hit.t, DEFAULT_RAY_TMAX)
+        first_n = jnp.where(bounce == 0, n0, first_n)
+        first_t = jnp.where(bounce == 0, t0, first_t)
+
+        new_alive = alive & hit.hit
+        origin = jnp.where(hit.hit[..., None], hit.pos, origin)
+        direction = jnp.where(
+            hit.hit[..., None], mathx.normalize(bounce_dir), direction
+        )
+        return (origin, direction, throughput, radiance, new_alive, first_n, first_t), None
+
+    # Carry inits derive from the ray arrays (not fresh constants) so that
+    # under shard_map their varying-manual-axes type matches the loop
+    # outputs (JAX >= 0.9 check_vma).
+    zero3 = rays.origin * 0.0
+    zero1 = rays.tmin * 0.0
+    init = (
+        rays.origin,
+        rays.dir,
+        zero3 + 1.0,  # throughput
+        zero3,  # radiance
+        rays.tmax > 0.0,  # alive (all True)
+        zero3,  # first normal
+        zero1,  # first t
+    )
+    (_, _, _, radiance, _, first_n, first_t), _ = jax.lax.scan(
+        body, init, jnp.arange(max_depth)
+    )
+    return radiance, first_n, first_t
+
+
+def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int):
+    """One sample-per-pixel pass over flat pixel indices (the analog of one
+    `SamplePixel` launch).  Returns (radiance, first_normal, first_t)."""
+    rays = camera.ray_gen(pixel_idx, sample_idx, seed)
+    return trace_bounces(scene, sky_tex, rays, pixel_idx, sample_idx, seed, max_depth)
+
+
+def render_radiance(
+    scene,
+    camera: Camera,
+    sky_tex,
+    *,
+    spp: int,
+    max_depth: int,
+    seed: int = 0,
+    pixel_idx=None,
+    sample_offset=0,
+):
+    """Mean radiance over `spp` samples (scan over the sample axis — the
+    rendering analog of gradient accumulation; memory stays O(pixels)).
+
+    Returns (radiance f32[R,3], first_normal f32[R,3], first_t f32[R]); the
+    aux buffers come from sample 0.  Differentiable w.r.t. scene material
+    params, sky_tex and camera.
+    """
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(camera.width * camera.height, dtype=jnp.int32)
+
+    def body(acc, s):
+        rad, n0, t0 = render_sample(
+            scene, camera, sky_tex, pixel_idx, sample_offset + s, seed, max_depth
+        )
+        acc_rad, acc_n, acc_t = acc
+        keep_first = s == 0
+        return (
+            acc_rad + rad,
+            jnp.where(keep_first, n0, acc_n),
+            jnp.where(keep_first, t0, acc_t),
+        ), None
+
+    # varying-axes-safe zero inits (see trace_bounces)
+    zero1 = pixel_idx.astype(jnp.float32) * 0.0
+    zero3 = zero1[..., None] + jnp.zeros((3,), jnp.float32)
+    init = (zero3, zero3, zero1)
+    (rad_sum, n0, t0), _ = jax.lax.scan(body, init, jnp.arange(spp))
+    return rad_sum / jnp.float32(spp), n0, t0
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "max_depth"))
+def render_radiance_jit(scene, camera, sky_tex, spp: int, max_depth: int, seed):
+    return render_radiance(scene, camera, sky_tex, spp=spp, max_depth=max_depth, seed=seed)

@@ -1,0 +1,159 @@
+"""Progressive renderer: integrate -> denoise -> accumulate -> pack.
+
+The functional re-design of the reference's pipeline loop
+(`PathTracer::PipelineLoop`, `cuSrc/path_tracer.cu:256-306`): per frame the
+reference launches SamplePixel -> Denoising -> Mix with full-device syncs
+between them and a D2H copy at the end.  Here the whole frame step is ONE
+jitted XLA program (integrator scan + denoiser + accumulator fused, no
+host syncs), and the accumulator state is an explicit immutable pytree —
+so it can be checkpointed/restored (long multi-host renders) and carried
+through `lax.scan` for whole-video rendering on device.
+
+Accumulation (`Mix`, `path_tracer.cu:241-254`):
+  mix = lerp(mix, clamp(frame, 0, 1), 1 / sample_idx)
+with sample_idx starting at 1 and reset on camera motion (the reference's
+`MotionalCamera::Refresh`, `motional_camera.cu:43-45`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpppathtracer_tpu.integrator import render_sample
+from cpppathtracer_tpu.models.camera import Camera
+from cpppathtracer_tpu.ops.denoise import denoise
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (the reference hard-codes all of these:
+    resolution `video_renderer.h:11`, depth `path_tracer.h:43`)."""
+
+    width: int = 1280
+    height: int = 720
+    max_depth: int = 8  # max_recursion_depth_, default 8, hard cap 32
+    spp_per_frame: int = 1
+    denoise: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        from cpppathtracer_tpu.types import MAX_RECURSION_DEPTH_SET
+
+        if self.max_depth > MAX_RECURSION_DEPTH_SET:
+            raise ValueError(
+                f"max_depth {self.max_depth} exceeds hard cap {MAX_RECURSION_DEPTH_SET}"
+            )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AccumulatorState:
+    """Progressive accumulation state (the reference keeps this in device
+    buffers + the camera's cur_sample_idx_)."""
+
+    mix: jax.Array  # f32[H,W,3]
+    sample_idx: jax.Array  # i32[] — next Mix uses 1/(sample_idx+1)
+
+    @staticmethod
+    def create(height: int, width: int) -> "AccumulatorState":
+        return AccumulatorState(
+            mix=jnp.zeros((height, width, 3), jnp.float32),
+            sample_idx=jnp.zeros((), jnp.int32),
+        )
+
+    def refresh(self) -> "AccumulatorState":
+        """Restart accumulation (camera moved) — Refresh() semantics."""
+        return AccumulatorState(mix=jnp.zeros_like(self.mix), sample_idx=jnp.zeros((), jnp.int32))
+
+
+def _frame_once(scene, camera, sky_tex, state, cfg_max_depth, cfg_denoise, seed):
+    h, w = camera.height, camera.width
+    pixel_idx = jnp.arange(h * w, dtype=jnp.int32)
+    rad, n0, t0 = render_sample(
+        scene, camera, sky_tex, pixel_idx, state.sample_idx, seed, cfg_max_depth
+    )
+    rad = rad.reshape(h, w, 3)
+    if cfg_denoise:
+        frame = denoise(rad, n0.reshape(h, w, 3), t0.reshape(h, w))
+    else:
+        frame = rad
+    new_idx = state.sample_idx + 1
+    mixed = state.mix + (jnp.clip(frame, 0.0, 1.0) - state.mix) / new_idx.astype(jnp.float32)
+    return AccumulatorState(mix=mixed, sample_idx=new_idx), mixed
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "use_denoise"))
+def frame_step(scene, camera, sky_tex, state, seed, max_depth: int, use_denoise: bool):
+    """One progressive frame: 1 spp + denoise + running-average mix.
+    Returns (new_state, display_image f32[H,W,3] in [0,1])."""
+    return _frame_once(scene, camera, sky_tex, state, max_depth, use_denoise, seed)
+
+
+def to_bgra8(image) -> np.ndarray:
+    """Pack f32[H,W,3] in [0,1] to the reference's byte layout
+    (B,G,R,alpha; x255.99, `path_tracer.cu:251-253`)."""
+    img = np.asarray(jax.device_get(image))
+    b = (255.99 * img[..., 2]).astype(np.uint8)
+    g = (255.99 * img[..., 1]).astype(np.uint8)
+    r = (255.99 * img[..., 0]).astype(np.uint8)
+    a = np.full_like(b, 255)
+    return np.stack([b, g, r, a], axis=-1)
+
+
+def to_rgb8(image) -> np.ndarray:
+    img = np.asarray(jax.device_get(image))
+    return (255.99 * np.clip(img, 0.0, 1.0)).astype(np.uint8)
+
+
+class ProgressiveRenderer:
+    """Host-side driver mirroring the `VideoRenderer`/`PathTracer` API
+    (`include/path_tracer.h:17-25`, `include/video_renderer.h:17-26`)
+    without the Win32 coupling: call `step()` per frame, move the camera
+    via the functional ops, and read progressive frames.
+
+    The JAX async runtime plays the role of the reference's detached
+    pipeline thread + semaphore deque: `step()` enqueues the whole frame
+    program and returns immediately; `frame()` blocks (the reference's
+    D2H copy + callback)."""
+
+    def __init__(self, scene, camera: Camera, sky_tex, config: RenderConfig | None = None):
+        self.scene = scene
+        self.camera = camera
+        self.sky_tex = jnp.asarray(sky_tex, jnp.float32)
+        self.config = config or RenderConfig(width=camera.width, height=camera.height)
+        self.state = AccumulatorState.create(camera.height, camera.width)
+
+    def move_camera(self, fn, *args, **kw):
+        """Apply a camera motion op (e.g. `Camera.move_forward`) and restart
+        accumulation — the reference's Lock/Move/Refresh/Unlock dance."""
+        self.camera = fn(self.camera, *args, **kw)
+        self.state = self.state.refresh()
+
+    def resize(self, width: int, height: int):
+        self.camera = self.camera.resize(width, height)
+        self.state = AccumulatorState.create(height, width)
+
+    def refresh(self):
+        self.state = self.state.refresh()
+
+    def step(self):
+        """Render one progressive sample into the accumulator (async)."""
+        self.state, image = frame_step(
+            self.scene,
+            self.camera,
+            self.sky_tex,
+            self.state,
+            self.config.seed,
+            self.config.max_depth,
+            self.config.denoise,
+        )
+        return image
+
+    def frame(self) -> np.ndarray:
+        """Current accumulated frame as float RGB [H,W,3] (blocks)."""
+        return np.asarray(jax.device_get(self.state.mix))

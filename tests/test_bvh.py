@@ -1,0 +1,139 @@
+"""BVH: build validity, traversal == dense intersection, refit, gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cpppathtracer_tpu import reference_cpu as ref
+from cpppathtracer_tpu.models.scene import SceneBuilder, demo_scene
+from cpppathtracer_tpu.ops.bvh import (
+    build_bvh,
+    build_bvh_numpy,
+    intersect_bvh,
+    object_aabbs,
+    refit_bvh,
+)
+from cpppathtracer_tpu.ops.intersect import intersect
+from cpppathtracer_tpu.types import Rays
+
+RNG = np.random.RandomState(13)
+
+
+def _scene(n=40, seed=0):
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.9, 0.9, 0.9))
+    for _ in range(n):
+        c = rng.uniform(-60, 60, 3)
+        c[1] = rng.uniform(1, 20)
+        if rng.rand() < 0.7:
+            b.add_sphere(c, rng.uniform(1, 5))
+        else:
+            h = rng.uniform(2, 10)
+            c[1] = h / 2
+            b.add_cylinder(c, rng.uniform(1, 4), h)
+    return b.build()
+
+
+def _rays(n, seed=1):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-80, 80, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 40, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays.make(o, d.astype(np.float32))
+
+
+def test_build_structure():
+    scene = _scene(25)
+    sc = ref.scene_to_np(scene)
+    amin, amax = object_aabbs(sc)
+    arrays = build_bvh_numpy(amin, amax)
+    n_obj = 26
+    left, right, obj = arrays["left"], arrays["right"], arrays["obj_idx"]
+    # leaves = one per object, each object exactly once
+    leaves = sorted(int(o) for o in obj if o >= 0)
+    assert leaves == list(range(n_obj))
+    # internal nodes have two children; children AABBs inside parent
+    for i in range(len(left)):
+        if obj[i] < 0:
+            l, r = left[i], right[i]
+            assert l >= 0 and r >= 0
+            for ch in (l, r):
+                assert np.all(arrays["aabb_min"][ch] >= arrays["aabb_min"][i] - 1e-6)
+                assert np.all(arrays["aabb_max"][ch] <= arrays["aabb_max"][i] + 1e-6)
+
+
+def test_bvh_matches_dense():
+    scene = _scene(40)
+    bvh = build_bvh(scene)
+    rays = _rays(512)
+    dense = intersect(scene, rays)
+    via_bvh = intersect_bvh(scene, bvh, rays)
+    d_hit = np.asarray(dense.hit)
+    b_hit = np.asarray(via_bvh.hit)
+    np.testing.assert_array_equal(d_hit, b_hit)
+    d_t = np.asarray(dense.t)[d_hit]
+    b_t = np.asarray(via_bvh.t)[d_hit]
+    np.testing.assert_allclose(b_t, d_t, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(dense.obj_idx)[d_hit], np.asarray(via_bvh.obj_idx)[d_hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_bvh.normal)[d_hit], np.asarray(dense.normal)[d_hit], atol=1e-6
+    )
+
+
+def test_bvh_demo_scene():
+    scene = demo_scene(seed=0).build()
+    bvh = build_bvh(scene)
+    rays = _rays(256, seed=5)
+    dense = intersect(scene, rays)
+    via_bvh = intersect_bvh(scene, bvh, rays)
+    np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(via_bvh.hit))
+    m = np.asarray(dense.hit)
+    np.testing.assert_allclose(
+        np.asarray(via_bvh.t)[m], np.asarray(dense.t)[m], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_refit_after_move():
+    import dataclasses
+
+    scene = _scene(20)
+    bvh = build_bvh(scene)
+    center = np.asarray(scene.center).copy()
+    center[3] += [5.0, 2.0, -4.0]
+    moved = dataclasses.replace(scene, center=jnp.asarray(center))
+    bvh2 = refit_bvh(bvh, moved)
+    rays = _rays(256, seed=2)
+    dense = intersect(moved, rays)
+    via = intersect_bvh(moved, bvh2, rays)
+    np.testing.assert_array_equal(np.asarray(dense.hit), np.asarray(via.hit))
+    m = np.asarray(dense.hit)
+    np.testing.assert_allclose(
+        np.asarray(via.t)[m], np.asarray(dense.t)[m], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bvh_traversal_is_differentiable_through_recompute():
+    import dataclasses
+
+    scene = _scene(10)
+    bvh = build_bvh(scene)
+    # aim rays at the object centers so sphere/cylinder hits (with nonzero
+    # radius-gradient) actually occur
+    centers = np.asarray(scene.center)[1:11]
+    eye = np.array([0.0, 30.0, -200.0], np.float32)
+    d = centers - eye
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    rays = Rays.make(np.tile(eye, (10, 1)), d)
+
+    def f(radius):
+        s = dataclasses.replace(scene, radius=radius)
+        hit = intersect_bvh(s, bvh, rays)
+        return jnp.sum(jnp.where(hit.hit, hit.t, 0.0))
+
+    g = jax.grad(f)(scene.radius)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).sum() > 0

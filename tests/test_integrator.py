@@ -1,0 +1,123 @@
+"""End-to-end golden test: JAX integrator vs the scalar CPU oracle.
+
+BASELINE config 1 (Cornell-style: diffuse sphere on a platform under a sky
+env map) at tiny resolution, plus a material-zoo mini scene exercising all
+four BSDFs including refraction (config 2 shrunk)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpppathtracer_tpu import reference_cpu as ref
+from cpppathtracer_tpu.integrator import render_radiance, render_sample
+from cpppathtracer_tpu.models.camera import Camera
+from cpppathtracer_tpu.models.scene import SceneBuilder
+from cpppathtracer_tpu.ops.texture import procedural_sky
+from cpppathtracer_tpu.types import MaterialType
+
+
+def cornell_scene():
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.95, 0.95, 0.95))
+    b.add_sphere((0.0, 2.0, 0.0), 2.0, mat_type=MaterialType.DIFFUSE, kd=(0.7, 0.3, 0.3))
+    return b.build()
+
+
+def zoo_scene():
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.9, 0.9, 0.9))
+    b.add_sphere((-4.5, 1.5, 0.0), 1.5, mat_type=MaterialType.DIFFUSE, kd=(0.8, 0.3, 0.2))
+    b.add_sphere((-1.5, 1.5, 0.0), 1.5, mat_type=MaterialType.METAL, kd=(0.9, 0.8, 0.4),
+                 smoothness=3.0)
+    b.add_sphere((1.5, 1.5, 0.0), 1.5, mat_type=MaterialType.MIRROR, kd=(0.8, 0.8, 0.9),
+                 smoothness=2.0, reflectivity=0.7)
+    b.add_sphere((4.5, 1.5, 0.0), 1.5, mat_type=MaterialType.GLASS, kd=(1.0, 1.0, 1.0),
+                 smoothness=4.0, ior=1.5)
+    b.add_sphere((4.5, 1.5, 0.0), 0.01 - 1.5, mat_type=MaterialType.GLASS, kd=(1.0, 1.0, 1.0),
+                 smoothness=4.0, ior=1.5)
+    b.add_cylinder((0.0, 1.0, -4.0), 1.0, 2.0, mat_type=MaterialType.DIFFUSE,
+                   kd=(0.2, 0.6, 0.8), emission=0.4)
+    return b.build()
+
+
+SKY = procedural_sky(64, 64, seed=3)
+
+
+def _compare_images(scene, camera, spp, max_depth, seed, atol=1e-4, bad_frac=0.02):
+    """Pixel-exact-ish comparison.  A small fraction of pixels is allowed
+    to diverge: bounce self-hits land within one ulp of the
+    BOUNCE_RAY_TMIN=2e-5 acceptance threshold (surface acne inherited
+    from the reference's epsilon, path_tracer.cu:167) and fp32 rounding
+    order decides the branch, sending that whole path elsewhere.  The
+    bulk of the image must match at 1e-4 and the median error must be at
+    fp32-noise level."""
+    want_rad, want_n, want_t = ref.render_image_np(scene, camera, SKY, spp, max_depth, seed)
+    got_rad, got_n, got_t = render_radiance(
+        scene, camera, jnp.asarray(SKY), spp=spp, max_depth=max_depth, seed=seed
+    )
+    h, w = camera.height, camera.width
+    got_rad = np.asarray(got_rad).reshape(h, w, 3)
+    got_n = np.asarray(got_n).reshape(h, w, 3)
+    got_t = np.asarray(got_t).reshape(h, w)
+
+    err = np.abs(got_rad - want_rad)
+    frac_bad = (err > atol).mean()
+    assert frac_bad <= bad_frac, f"fraction of mismatched radiance {frac_bad}"
+    assert np.median(err) <= 2e-6, f"median radiance error {np.median(err)}"
+    nerr = np.abs(got_n - want_n)
+    assert (nerr > 1e-4).mean() <= bad_frac
+    finite = want_t < 1e29
+    terr = np.abs(got_t - want_t)[finite]
+    rel = terr / np.maximum(1.0, np.abs(want_t[finite]))
+    assert (rel > 1e-4).mean() <= bad_frac
+
+
+def test_cornell_vs_oracle():
+    cam = Camera.make(24, 18, origin=(0.0, 4.0, -12.0), look_at=(0.0, 2.0, 0.0),
+                      view_fov=40.0)
+    _compare_images(cornell_scene(), cam, spp=2, max_depth=4, seed=1)
+
+
+def test_material_zoo_vs_oracle():
+    cam = Camera.make(24, 18, origin=(0.0, 5.0, -14.0), look_at=(0.0, 1.5, 0.0),
+                      view_fov=45.0)
+    _compare_images(zoo_scene(), cam, spp=2, max_depth=6, seed=2)
+
+
+def test_radiance_accumulation_multi_spp():
+    # mean over spp == average of individual samples
+    scene = cornell_scene()
+    cam = Camera.make(8, 8, origin=(0.0, 4.0, -12.0), look_at=(0.0, 2.0, 0.0))
+    pix = jnp.arange(64, dtype=jnp.int32)
+    singles = [
+        np.asarray(render_sample(scene, cam, jnp.asarray(SKY), pix, s, 7, 4)[0])
+        for s in range(3)
+    ]
+    mean3 = np.mean(singles, axis=0)
+    got, _, _ = render_radiance(scene, cam, jnp.asarray(SKY), spp=3, max_depth=4, seed=7)
+    np.testing.assert_allclose(np.asarray(got), mean3, atol=1e-5)
+
+
+def test_paths_terminate_on_miss():
+    # A scene with nothing to hit: radiance == sky exactly at bounce 0,
+    # later bounces contribute nothing.
+    b = SceneBuilder()
+    b.add_sphere((0.0, -1e6, 0.0), 1.0)  # far away, never hit
+    scene = b.build()
+    cam = Camera.make(8, 8, origin=(0.0, 0.0, 0.0), look_at=(1.0, 0.0, 0.0))
+    pix = jnp.arange(64, dtype=jnp.int32)
+    r1, _, _ = render_sample(scene, cam, jnp.asarray(SKY), pix, 0, 0, 1)
+    r8, _, _ = render_sample(scene, cam, jnp.asarray(SKY), pix, 0, 0, 8)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-6)
+
+
+def test_emission_only_depth_one():
+    # depth=1: radiance = emission of first hit (no sky on truncation).
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 5.0), 2.0, kd=(0.5, 0.25, 0.125), emission=2.0)
+    scene = b.build()
+    cam = Camera.make(4, 4, origin=(0.0, 0.0, 0.0), look_at=(0.0, 0.0, 5.0), lens_radius=0.0)
+    pix = jnp.arange(16, dtype=jnp.int32)
+    rad, _, _ = render_sample(scene, cam, jnp.asarray(SKY), pix, 0, 0, 1)
+    rad = np.asarray(rad)
+    np.testing.assert_allclose(rad, np.tile([[1.0, 0.5, 0.25]], (16, 1)), atol=1e-5)
