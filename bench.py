@@ -22,6 +22,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_RAYS_PER_SEC = 1e9  # BASELINE.md north star (v5p-16, fwd+bwd)
 
 

@@ -39,38 +39,73 @@ import jax
 import jax.numpy as jnp
 
 from cpppathtracer_tpu.models.camera import Camera
-from cpppathtracer_tpu.ops import bsdf, intersect, mathx, texture
+from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, texture
 from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX, Rays
 from cpppathtracer_tpu.utils import rng as prng
 
 
-def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int):
+def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int,
+                  tex_stack=None):
     """Integrate `max_depth` bounces for a wavefront of primary rays.
 
     Returns (radiance f32[R,3], first_normal f32[R,3], first_t f32[R]).
+
+    Perf notes (TPU): uses the matmul-form type-partitioned intersector +
+    one-hot winner gather (ops/fast.py) when the scene carries partition
+    metadata; the sky env-map is sampled ONCE per path at its recorded
+    termination (direction, throughput) instead of per bounce — exactly
+    equivalent (the sky lookup never feeds back into the path state) but
+    `max_depth`x fewer texture gathers.
     """
     batch = pixel_idx.shape
+    gs = fast.group_scene(scene)
 
     @jax.checkpoint
     def body(carry, bounce):
-        origin, direction, throughput, radiance, alive, first_n, first_t = carry
+        (origin, direction, throughput, radiance, alive,
+         miss_dir, miss_thru, missed, first_n, first_t) = carry
         cur = Rays(
             origin=origin,
             dir=direction,
             tmin=jnp.where(bounce == 0, 0.0, BOUNCE_RAY_TMIN) * jnp.ones(batch, jnp.float32),
             tmax=jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32),
         )
-        hit = intersect.intersect(scene, cur)
-        mats = bsdf.gather_materials(scene, hit.obj_idx)
+        if gs is not None:
+            hit, mats = fast.intersect_and_gather(gs, cur)
+        else:
+            hit = intersect.intersect(scene, cur)
+            mats = bsdf.gather_materials(scene, hit.obj_idx)
         u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + bounce)
+        kd_override = None
+        if tex_stack is not None:
+            # per-material albedo textures (Material::GetKd with real UVs,
+            # see ops/uv.py); static unroll over the texture stack.
+            from cpppathtracer_tpu.ops import texture as _tex
+            from cpppathtracer_tpu.ops.uv import surface_uv
+
+            tid = mats["tex_id"]
+            u, v = surface_uv(*mats["_geom"], hit.pos)
+            kd_tex = jnp.zeros_like(mats["kd"])
+            for t in range(tex_stack.shape[0]):
+                kd_tex = jnp.where(
+                    (tid == t)[..., None],
+                    _tex.sample_bilinear(tex_stack[t], u, v),
+                    kd_tex,
+                )
+            kd_override = jnp.where((tid >= 0)[..., None], kd_tex, mats["kd"])
         bounce_dir, attenuation, emitted = bsdf.shade(
-            mats, hit.normal, direction, u1, u2, u3
+            mats, hit.normal, direction, u1, u2, u3, kd_override=kd_override
         )
-        sky = texture.sample_sky(sky_tex, direction)
-        contrib = jnp.where(hit.hit[..., None], emitted, sky)
-        radiance = radiance + throughput * contrib * alive[..., None]
+        live_hit = hit.hit & alive
+        radiance = radiance + throughput * emitted * live_hit[..., None]
+        # record termination state at the first miss (sky applied after the
+        # scan); `alive` can only be True pre-miss so this fires once.
+        new_miss = alive & ~hit.hit
+        miss_dir = jnp.where(new_miss[..., None], direction, miss_dir)
+        miss_thru = jnp.where(new_miss[..., None], throughput, miss_thru)
+        missed = missed | new_miss
         throughput = jnp.where(
-            (hit.hit & alive)[..., None], throughput * attenuation, throughput
+            live_hit[..., None], throughput * attenuation, throughput
         )
 
         # First-bounce denoiser aux (miss normal = -dir, path_tracer.cu:152).
@@ -84,7 +119,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         direction = jnp.where(
             hit.hit[..., None], mathx.normalize(bounce_dir), direction
         )
-        return (origin, direction, throughput, radiance, new_alive, first_n, first_t), None
+        return (
+            origin, direction, throughput, radiance, new_alive,
+            miss_dir, miss_thru, missed, first_n, first_t,
+        ), None
 
     # Carry inits derive from the ray arrays (not fresh constants) so that
     # under shard_map their varying-manual-axes type matches the loop
@@ -97,20 +135,27 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         zero3 + 1.0,  # throughput
         zero3,  # radiance
         rays.tmax > 0.0,  # alive (all True)
+        rays.dir,  # miss_dir placeholder (unit; masked by `missed`)
+        zero3,  # miss throughput
+        rays.tmax < 0.0,  # missed (all False)
         zero3,  # first normal
         zero1,  # first t
     )
-    (_, _, _, radiance, _, first_n, first_t), _ = jax.lax.scan(
-        body, init, jnp.arange(max_depth)
+    (_, _, _, radiance, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
+        jax.lax.scan(body, init, jnp.arange(max_depth))
     )
+    sky = texture.sample_sky(sky_tex, miss_dir)
+    radiance = radiance + miss_thru * sky * missed[..., None]
     return radiance, first_n, first_t
 
 
-def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int):
+def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int,
+                  tex_stack=None):
     """One sample-per-pixel pass over flat pixel indices (the analog of one
     `SamplePixel` launch).  Returns (radiance, first_normal, first_t)."""
     rays = camera.ray_gen(pixel_idx, sample_idx, seed)
-    return trace_bounces(scene, sky_tex, rays, pixel_idx, sample_idx, seed, max_depth)
+    return trace_bounces(scene, sky_tex, rays, pixel_idx, sample_idx, seed, max_depth,
+                         tex_stack=tex_stack)
 
 
 def render_radiance(
@@ -123,6 +168,7 @@ def render_radiance(
     seed: int = 0,
     pixel_idx=None,
     sample_offset=0,
+    tex_stack=None,
 ):
     """Mean radiance over `spp` samples (scan over the sample axis — the
     rendering analog of gradient accumulation; memory stays O(pixels)).
@@ -136,7 +182,8 @@ def render_radiance(
 
     def body(acc, s):
         rad, n0, t0 = render_sample(
-            scene, camera, sky_tex, pixel_idx, sample_offset + s, seed, max_depth
+            scene, camera, sky_tex, pixel_idx, sample_offset + s, seed, max_depth,
+            tex_stack=tex_stack,
         )
         acc_rad, acc_n, acc_t = acc
         keep_first = s == 0

@@ -49,6 +49,13 @@ class Scene:
     reflectivity: jax.Array  # f32[N]
     ior: jax.Array  # f32[N]
     tex_id: jax.Array  # i32[N]
+    # Static type-partition metadata for the matmul-form fast intersector
+    # (ops/fast.py): `type_perm` permutes objects into
+    # [spheres | platforms | cylinders | padding] order and `type_counts`
+    # is (n_sphere, n_platform, n_cylinder).  Hashable python tuples so
+    # jit caches key on them; empty tuple = unknown (generic path only).
+    type_perm: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    type_counts: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def num_objects(self) -> int:
@@ -205,7 +212,14 @@ class SceneBuilder:
         prim_type = np.full(m, -1, np.int32)
         for i, o in enumerate(self._objs):
             prim_type[i] = o.prim_type
+        order = np.concatenate(
+            [np.where(prim_type == t)[0] for t in (0, 1, 2)]
+            + [np.where(prim_type < 0)[0]]
+        )
+        counts = tuple(int((prim_type == t).sum()) for t in (0, 1, 2))
         return Scene(
+            type_perm=tuple(int(i) for i in order),
+            type_counts=counts,
             prim_type=jnp.asarray(prim_type),
             center=jnp.asarray(arr("center", dim=3)),
             radius=jnp.asarray(arr("radius")),

@@ -38,7 +38,7 @@ from cpppathtracer_tpu.ops import mathx
 from cpppathtracer_tpu.types import MaterialType
 
 
-def shade(mat, normal, in_dir, u1, u2, u3):
+def shade(mat, normal, in_dir, u1, u2, u3, kd_override=None):
     """Sample the bounce for a wavefront of hits.
 
     Args:
@@ -48,6 +48,9 @@ def shade(mat, normal, in_dir, u1, u2, u3):
       normal: f32[R,3] geometric normal at the hit.
       in_dir: f32[R,3] incoming ray direction (normalized).
       u1, u2, u3: f32[R] stateless uniforms for this bounce.
+      kd_override: optional f32[R,3] replacing kd for the ATTENUATION only
+        (the textured-albedo path, `Material::GetKd`, material.cu:11-18 —
+        the reference's emission term reads the raw kd_ field).
 
     Returns:
       bounce_dir f32[R,3] (unnormalized — the integrator normalizes, like
@@ -111,7 +114,8 @@ def shade(mat, normal, in_dir, u1, u2, u3):
 
     above_horizon = mathx.dot(normal, bounce_dir) > 0
     atten_on = is_glass | above_horizon
-    attenuation = jnp.where(atten_on[..., None], kd, jnp.zeros_like(kd))
+    atten_kd = kd if kd_override is None else kd_override
+    attenuation = jnp.where(atten_on[..., None], atten_kd, jnp.zeros_like(atten_kd))
     emitted = mat["emission"][..., None] * kd
     return bounce_dir, attenuation, emitted
 
@@ -127,4 +131,12 @@ def gather_materials(scene, obj_idx):
         "smoothness": take(scene.smoothness),
         "reflectivity": take(scene.reflectivity),
         "ior": take(scene.ior),
+        "tex_id": take(scene.tex_id),
+        "_geom": (
+            take(scene.prim_type),
+            take(scene.center),
+            take(scene.radius),
+            take(scene.y_pos),
+            take(scene.height),
+        ),
     }

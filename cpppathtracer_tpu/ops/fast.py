@@ -1,0 +1,263 @@
+"""Speed-of-light intersection + material gather for the TPU hot path.
+
+Profiling the XLA baseline on a v5e showed three dominant costs per
+bounce (scripts/perf_micro.py): `jnp.take` gathers (TPU gathers are
+scalar-ish; ~5x the candidate math), per-(ray,object) candidate math
+computed for ALL THREE primitive types per object (3x waste), and
+per-bounce sky-texture gathers.  This module removes the first two:
+
+1. **Type-partitioned candidates.**  Objects are permuted into
+   [spheres | platforms | cylinders | padding] order using the Scene's
+   static `type_perm`/`type_counts` metadata, so each group runs ONLY its
+   own analytic test — and scene padding costs nothing at all.
+
+2. **Matmul-form quadratics.**  The sphere/cylinder quadratic
+   coefficients factor into ray-terms and object-terms joined by inner
+   products:  b = o.d - d.c  and  c = |o|^2 - 2 o.c + (|c|^2 - r^2),
+   so the [R, N] cross terms are two tiny [R,3]x[3,N] matmuls on the MXU
+   and the per-pair tail is ~a dozen VPU ops.  (Identical math to
+   `object.cu:10-35` — only the evaluation order changes.)
+
+3. **One-hot matmul gathers.**  The winner's geometry + material record
+   is fetched with a single [R,N]@[N,F] matmul against a packed
+   parameter table instead of 11 scalar gathers (f32 holds object ids
+   exactly below 2^24).
+
+Closest-hit semantics (validity windows, near-else-far root select,
+cap-before-lateral priority, negative-radius behavior) are exactly those
+of ops/intersect.py; the argmin tie-break differs only in object
+*ordering* (grouped vs authored), which matters only for exactly-equal
+hit distances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpppathtracer_tpu.ops import mathx
+from cpppathtracer_tpu.ops.intersect import _object_hit_attrs, _safe_div
+from cpppathtracer_tpu.types import DEFAULT_RAY_TMAX, Hit, Rays
+
+_INF = jnp.float32(DEFAULT_RAY_TMAX)
+
+# packed table column layout (F columns)
+# 0:2 center.xyz | 3 radius | 4 y_pos | 5 height | 6 prim_type | 7 mat_type
+# 8:10 kd | 11 emission | 12 smoothness | 13 reflectivity | 14 ior
+# 15 tex_id | 16 orig_idx
+_F = 17
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GroupedScene:
+    """Scene repacked for the fast path (built once per trace)."""
+
+    center: jax.Array  # f32[Ng,3] grouped
+    radius: jax.Array  # f32[Ng]
+    y_pos: jax.Array  # f32[Ng]
+    height: jax.Array  # f32[Ng]
+    table: jax.Array  # f32[Ng,F] packed per-object record
+    counts: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def group_scene(scene) -> GroupedScene | None:
+    """Repack a Scene using its static partition metadata. Returns None if
+    the scene lacks metadata (hand-built pytree) — callers fall back to
+    the generic dense path."""
+    if not scene.type_perm or not scene.type_counts:
+        return None
+    perm = jnp.asarray(np.asarray(scene.type_perm, np.int32))
+    g = lambda a: jnp.take(a, perm, axis=0)  # one-time N-sized gather
+    center = g(scene.center)
+    radius = g(scene.radius)
+    y_pos = g(scene.y_pos)
+    height = g(scene.height)
+    table = jnp.concatenate(
+        [
+            center,
+            radius[:, None],
+            y_pos[:, None],
+            height[:, None],
+            g(scene.prim_type).astype(jnp.float32)[:, None],
+            g(scene.mat_type).astype(jnp.float32)[:, None],
+            g(scene.kd),
+            g(scene.emission)[:, None],
+            g(scene.smoothness)[:, None],
+            g(scene.reflectivity)[:, None],
+            g(scene.ior)[:, None],
+            g(scene.tex_id).astype(jnp.float32)[:, None],
+            perm.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    return GroupedScene(
+        center=center,
+        radius=radius,
+        y_pos=y_pos,
+        height=height,
+        table=table,
+        counts=tuple(scene.type_counts),
+    )
+
+
+def _candidates_grouped(gs: GroupedScene, rays: Rays):
+    """Candidate t per (ray, grouped-object), +INF when invalid.
+    Returns f32[R, n_active]."""
+    n_s, n_p, n_c = gs.counts
+    o = rays.origin
+    d = rays.dir
+    tmin = rays.tmin[:, None]
+    tmax = rays.tmax[:, None]
+    oy = o[:, 1:2]
+    dy = d[:, 1:2]
+
+    parts = []
+
+    if n_s:
+        c_s = gs.center[:n_s]  # [Ns,3]
+        r_s = gs.radius[:n_s]
+        oc = jax.lax.dot_general(
+            o, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [R,Ns]
+        dc = jax.lax.dot_general(
+            d, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        od = jnp.sum(o * d, -1, keepdims=True)
+        oo = jnp.sum(o * o, -1, keepdims=True)
+        a = jnp.sum(d * d, -1, keepdims=True)
+        cc = jnp.sum(c_s * c_s, -1) - r_s * r_s  # [Ns]
+        b = od - dc
+        c = oo - 2.0 * oc + cc[None, :]
+        disc = b * b - a * c
+        has = disc > 0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
+        t_near = (-b - sq) * inv_a
+        t_far = (-b + sq) * inv_a
+        nv = has & (t_near < tmax) & (t_near > tmin)
+        fv = has & (t_far < tmax) & (t_far > tmin)
+        parts.append(jnp.where(nv, t_near, jnp.where(fv, t_far, _INF)))
+
+    if n_p:
+        y0 = gs.y_pos[n_s : n_s + n_p][None, :]  # [1,Np]
+        crossing = ((oy < y0) & (dy > 0.0)) | ((oy > y0) & (dy < 0.0))
+        t = _safe_div(y0 - oy, dy)
+        v = crossing & (t < tmax) & (t > tmin)
+        parts.append(jnp.where(v, t, _INF))
+
+    if n_c:
+        sl = slice(n_s + n_p, n_s + n_p + n_c)
+        c_c = gs.center[sl]  # [Nc,3]
+        r_c = gs.radius[sl]
+        h_c = gs.height[sl]
+        cx = c_c[:, 0][None, :]
+        cy = c_c[:, 1][None, :]
+        cz = c_c[:, 2][None, :]
+        ox, oz = o[:, 0:1], o[:, 2:3]
+        dx, dz = d[:, 0:1], d[:, 2:3]
+        y_top = cy + h_c[None, :] / 2
+        y_bot = cy - h_c[None, :] / 2
+        rr = r_c[None, :]
+
+        def cap(y_plane):
+            crossing = ((oy < y_plane) & (dy > 0.0)) | ((oy > y_plane) & (dy < 0.0))
+            t = _safe_div(y_plane - oy, dy)
+            hx = ox + t * dx
+            hz = oz + t * dz
+            r2 = (hx - cx) ** 2 + (hz - cz) ** 2
+            v = crossing & (t < tmax) & (t > tmin) & (rr > 0.0) & (r2 < rr * rr)
+            return jnp.where(v, t, _INF)
+
+        t_cap = jnp.minimum(cap(y_top), cap(y_bot))
+
+        # lateral quadratic via 2D matmuls
+        o2 = jnp.stack([o[:, 0], o[:, 2]], -1)  # [R,2]
+        d2 = jnp.stack([d[:, 0], d[:, 2]], -1)
+        c2 = jnp.stack([c_c[:, 0], c_c[:, 2]], -1)  # [Nc,2]
+        oc2 = jax.lax.dot_general(
+            o2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dc2 = jax.lax.dot_general(
+            d2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        od2 = jnp.sum(o2 * d2, -1, keepdims=True)
+        oo2 = jnp.sum(o2 * o2, -1, keepdims=True)
+        ax = jnp.sum(d2 * d2, -1, keepdims=True)
+        cc2 = jnp.sum(c2 * c2, -1) - r_c * r_c
+        b2 = od2 - dc2
+        cq = oo2 - 2.0 * oc2 + cc2[None, :]
+        disc = b2 * b2 - ax * cq
+        has = disc > 0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        inv_ax = 1.0 / jnp.where(ax == 0.0, 1.0, ax)
+        t_ln = (-b2 - sq) * inv_ax
+        t_lf = (-b2 + sq) * inv_ax
+
+        def lat_ok(t):
+            hy = oy + t * dy
+            return has & (t < tmax) & (t > tmin) & (hy > y_bot) & (hy < y_top)
+
+        t_lat = jnp.minimum(
+            jnp.where(lat_ok(t_ln), t_ln, _INF), jnp.where(lat_ok(t_lf), t_lf, _INF)
+        )
+        parts.append(jnp.minimum(t_cap, t_lat))
+
+    if not parts:
+        return jnp.full(rays.tmin.shape + (1,), _INF)
+    return jnp.concatenate(parts, axis=1)
+
+
+def intersect_and_gather(gs: GroupedScene, rays: Rays):
+    """Closest hit + packed winner record in one pass.
+
+    Returns (Hit, mats dict) where mats matches
+    `bsdf.gather_materials`'s output (already per-ray)."""
+    t_all = _candidates_grouped(gs, rays)  # [R, Na]
+    na = t_all.shape[1]
+    gidx = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # [R]
+
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (rays.tmin.shape[0], na), 1)
+        == gidx[:, None]
+    ).astype(jnp.float32)
+    rec = jax.lax.dot_general(
+        onehot, gs.table[:na], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, F]
+
+    center = rec[:, 0:3]
+    radius = rec[:, 3]
+    y_pos = rec[:, 4]
+    height = rec[:, 5]
+    prim_type = rec[:, 6].astype(jnp.int32)
+    t, normal = _object_hit_attrs(
+        prim_type, center, radius, y_pos, height,
+        rays.origin, rays.dir, rays.tmin, rays.tmax,
+    )
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
+    pos = rays.origin + t_safe[..., None] * rays.dir
+    orig_idx = rec[:, 16].astype(jnp.int32)
+    out = Hit(
+        t=jnp.where(hit, t, _INF),
+        hit=hit,
+        pos=pos,
+        normal=jnp.where(hit[..., None], normal, 0.0),
+        obj_idx=jnp.where(hit, orig_idx, -1),
+    )
+    mats = {
+        "mat_type": rec[:, 7].astype(jnp.int32),
+        "kd": rec[:, 8:11],
+        "emission": rec[:, 11],
+        "smoothness": rec[:, 12],
+        "reflectivity": rec[:, 13],
+        "ior": rec[:, 14],
+        "tex_id": rec[:, 15].astype(jnp.int32),
+        # gathered geometry (for UV parameterization of albedo textures)
+        "_geom": (prim_type, center, radius, y_pos, height),
+    }
+    return out, mats
