@@ -34,6 +34,7 @@ camera/geometry parameters.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,10 @@ from cpppathtracer_tpu.models.camera import Camera
 from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, texture
 from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX, Rays
 from cpppathtracer_tpu.utils import rng as prng
+
+# Opt-in Pallas intersection kernel (ops/pallas/intersect_kernel.py);
+# interpret-mode on CPU, native Mosaic on TPU.
+_USE_PALLAS = os.environ.get("POCA_PALLAS", "0") == "1"
 
 
 def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int,
@@ -59,6 +64,8 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     """
     batch = pixel_idx.shape
     gs = fast.group_scene(scene)
+    # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
+    sky_packed = texture.pack_bilinear(sky_tex)
 
     @jax.checkpoint
     def body(carry, bounce):
@@ -71,7 +78,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             tmax=jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32),
         )
         if gs is not None:
-            hit, mats = fast.intersect_and_gather(gs, cur)
+            if _USE_PALLAS:
+                hit, mats = fast.intersect_and_gather_pl_ad(gs, cur)
+            else:
+                hit, mats = fast.intersect_and_gather(gs, cur)
         else:
             hit = intersect.intersect(scene, cur)
             mats = bsdf.gather_materials(scene, hit.obj_idx)
@@ -144,7 +154,7 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     (_, _, _, radiance, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
         jax.lax.scan(body, init, jnp.arange(max_depth))
     )
-    sky = texture.sample_sky(sky_tex, miss_dir)
+    sky = texture.sample_sky_packed(sky_packed, miss_dir)
     radiance = radiance + miss_thru * sky * missed[..., None]
     return radiance, first_n, first_t
 

@@ -261,3 +261,87 @@ def intersect_and_gather(gs: GroupedScene, rays: Rays):
         "_geom": (prim_type, center, radius, y_pos, height),
     }
     return out, mats
+
+
+def intersect_and_gather_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
+    """Pallas-kernel variant of :func:`intersect_and_gather` (same outputs;
+    see ops/pallas/intersect_kernel.py).  Pads the wavefront to the kernel
+    tile and reuses the XLA winner-attribute recompute."""
+    from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
+        build_geom,
+        pallas_intersect_records,
+    )
+
+    r = rays.tmin.shape[0]
+    tile = 1024
+    r_pad = -(-r // tile) * tile
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((r_pad - r,) + a.shape[1:], a.dtype)], 0
+    ) if r_pad != r else a
+    geom, table = build_geom(gs)
+    rec, _t = pallas_intersect_records(
+        pad(rays.origin), pad(rays.dir), pad(rays.tmin), pad(rays.tmax),
+        geom, table, counts=gs.counts, tile=tile, interpret=interpret,
+    )
+    rec = rec[:r]
+
+    center = rec[:, 0:3]
+    radius = rec[:, 3]
+    y_pos = rec[:, 4]
+    height = rec[:, 5]
+    prim_type = rec[:, 6].astype(jnp.int32)
+    t, normal = _object_hit_attrs(
+        prim_type, center, radius, y_pos, height,
+        rays.origin, rays.dir, rays.tmin, rays.tmax,
+    )
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
+    pos = rays.origin + t_safe[..., None] * rays.dir
+    orig_idx = rec[:, 16].astype(jnp.int32)
+    out = Hit(
+        t=jnp.where(hit, t, _INF),
+        hit=hit,
+        pos=pos,
+        normal=jnp.where(hit[..., None], normal, 0.0),
+        obj_idx=jnp.where(hit, orig_idx, -1),
+    )
+    mats = {
+        "mat_type": rec[:, 7].astype(jnp.int32),
+        "kd": rec[:, 8:11],
+        "emission": rec[:, 11],
+        "smoothness": rec[:, 12],
+        "reflectivity": rec[:, 13],
+        "ior": rec[:, 14],
+        "tex_id": rec[:, 15].astype(jnp.int32),
+        "_geom": (prim_type, center, radius, y_pos, height),
+    }
+    return out, mats
+
+
+# --- autodiff wrapper: Pallas forward, XLA-recompute backward -------------
+# pallas_call has no VJP; the backward math of the XLA fast path is
+# identical (same formulas), so gradients are unchanged.
+
+import jax as _jax
+
+
+@_jax.custom_vjp
+def intersect_and_gather_pl_ad(gs, rays):
+    return intersect_and_gather(gs, rays)
+
+
+def _iag_fwd(gs, rays):
+    import jax as j
+
+    interpret = j.default_backend() == "cpu"
+    out = intersect_and_gather_pallas(gs, rays, interpret=interpret)
+    return out, (gs, rays)
+
+
+def _iag_bwd(res, ct):
+    gs, rays = res
+    _, vjp = _jax.vjp(intersect_and_gather, gs, rays)
+    return vjp(ct)
+
+
+intersect_and_gather_pl_ad.defvjp(_iag_fwd, _iag_bwd)

@@ -151,3 +151,76 @@ def procedural_sky(height: int = 256, width: int = 256, seed: int = 0) -> np.nda
     clouds = np.clip(clouds, 0, None)[..., None] * 0.15
     out = np.clip(base + sun + clouds, 0.0, 1.0)
     return out.astype(np.float32)
+
+
+# ----------------------------------------------------------------------------
+# Quad-packed single-gather bilinear sampling (TPU fast path)
+# ----------------------------------------------------------------------------
+#
+# TPU dynamic gathers pay per-row overhead, so the standard 4-tap bilinear
+# fetch costs ~4x a single wide fetch.  `pack_bilinear` precomputes, per
+# texel, its 2x2 clamped neighborhood as one 16-float row ([t00 t01 t10
+# t11 pad]); `sample_packed` then needs ONE row gather per sample.
+#
+# Mirror addressing is folded into the *continuous* coordinate first:
+# mirror-filtered sampling equals sampling the reflected texture, so
+# xf = fold(u*W) into [0, W] followed by clamp-to-edge bilinear is exactly
+# CUDA's mirror+linear (with fx forced to 0 on the x0 = -1 boundary strip,
+# where both true taps are texel 0).  Verified against sample_bilinear in
+# tests/test_texture.py.
+
+import dataclasses as _dataclasses
+
+import jax as _jax
+
+
+@_jax.tree_util.register_dataclass
+@_dataclasses.dataclass
+class PackedTexture:
+    data: object  # f32[H*W, 16]
+    shape: tuple = _dataclasses.field(metadata=dict(static=True))  # (H, W)
+
+
+def pack_bilinear(tex) -> PackedTexture:
+    """Precompute the quad-packed table for f32[H,W,3] (jit-safe)."""
+    tex = jnp.asarray(tex, jnp.float32)
+    h, w = tex.shape[0], tex.shape[1]
+    xn = jnp.minimum(jnp.arange(w) + 1, w - 1)
+    yn = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    t00 = tex
+    t01 = tex[:, xn]
+    t10 = tex[yn, :]
+    t11 = tex[yn][:, xn]
+    pad = jnp.zeros((h, w, 4), jnp.float32)
+    packed = jnp.concatenate([t00, t01, t10, t11, pad], axis=-1).reshape(h * w, 16)
+    return PackedTexture(data=packed, shape=(h, w))
+
+
+def _fold_axis(coord, n):
+    """Reflect a continuous texel coordinate into [0, n] (mirror period 2n)."""
+    m = coord % (2.0 * n)
+    return jnp.where(m > n, 2.0 * n - m, m)
+
+
+def sample_packed(pt: PackedTexture, u, v):
+    """Bilinear fetch with mirror addressing — one gather per sample."""
+    h, w = pt.shape
+    xf = _fold_axis(u * w, w)
+    yf = _fold_axis(v * h, h)
+    xb = xf - 0.5
+    yb = yf - 0.5
+    x0 = jnp.floor(xb)
+    y0 = jnp.floor(yb)
+    fx = jnp.where(x0 < 0, 0.0, xb - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, yb - y0)[..., None]
+    xi = jnp.maximum(x0, 0.0).astype(jnp.int32)
+    yi = jnp.maximum(y0, 0.0).astype(jnp.int32)
+    row = jnp.take(pt.data, yi * w + xi, axis=0)  # [R,16]
+    top = row[..., 0:3] * (1.0 - fx) + row[..., 3:6] * fx
+    bot = row[..., 6:9] * (1.0 - fx) + row[..., 9:12] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_sky_packed(pt: PackedTexture, dir_xyz):
+    u, v = sky_uv(dir_xyz, jnp)
+    return sample_packed(pt, u, v)

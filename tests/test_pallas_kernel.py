@@ -1,0 +1,80 @@
+"""Pallas fused intersect kernel vs the XLA fast path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpppathtracer_tpu.models.scene import demo_scene, SceneBuilder
+from cpppathtracer_tpu.ops import fast
+from cpppathtracer_tpu.types import Rays
+
+RNG = np.random.RandomState(21)
+
+
+def _rays(n):
+    o = RNG.uniform(-100, 100, (n, 3)).astype(np.float32)
+    o[:, 1] = RNG.uniform(0.5, 60, n)
+    d = RNG.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays.make(o, d.astype(np.float32))
+
+
+@pytest.mark.parametrize("scene_fn", [lambda: demo_scene(seed=0).build()])
+def test_pallas_matches_xla_fast_path(scene_fn):
+    scene = scene_fn()
+    gs = fast.group_scene(scene)
+    rays = _rays(512)
+    hit_x, mats_x = fast.intersect_and_gather(gs, rays)
+    hit_p, mats_p = fast.intersect_and_gather_pallas(gs, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit_x.hit), np.asarray(hit_p.hit))
+    m = np.asarray(hit_x.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit_p.t)[m], np.asarray(hit_x.t)[m], rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_x.obj_idx), np.asarray(hit_p.obj_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit_p.normal)[m], np.asarray(hit_x.normal)[m], atol=1e-6
+    )
+    for k in ("mat_type", "kd", "emission", "smoothness", "reflectivity", "ior", "tex_id"):
+        np.testing.assert_allclose(
+            np.asarray(mats_p[k]), np.asarray(mats_x[k]), atol=1e-6, err_msg=k
+        )
+
+
+def test_pallas_small_scene_types():
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.9, 0.9, 0.9))
+    b.add_sphere((0.0, 3.0, 0.0), 3.0)
+    b.add_sphere((5.0, 2.0, 1.0), -2.0)  # negative-radius shell
+    b.add_cylinder((-5.0, 2.0, 0.0), 1.5, 4.0)
+    scene = b.build()
+    gs = fast.group_scene(scene)
+    rays = _rays(256)
+    hit_x, _ = fast.intersect_and_gather(gs, rays)
+    hit_p, _ = fast.intersect_and_gather_pallas(gs, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit_x.hit), np.asarray(hit_p.hit))
+    m = np.asarray(hit_x.hit)
+    np.testing.assert_allclose(np.asarray(hit_p.t)[m], np.asarray(hit_x.t)[m], rtol=1e-6)
+
+
+def test_integrator_with_pallas_matches_default(monkeypatch):
+    import importlib
+
+    import cpppathtracer_tpu.integrator as integ
+    from cpppathtracer_tpu.models.camera import Camera
+    from cpppathtracer_tpu.ops.texture import procedural_sky
+
+    scene = demo_scene(seed=0).build()
+    cam = Camera.make(16, 12, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+    pix = jnp.arange(16 * 12, dtype=jnp.int32)
+    rad_default, n_d, t_d = integ.render_sample(scene, cam, sky, pix, 0, 0, 4)
+
+    monkeypatch.setattr(integ, "_USE_PALLAS", True)
+    rad_pallas, n_p, t_p = integ.render_sample(scene, cam, sky, pix, 0, 0, 4)
+    np.testing.assert_allclose(
+        np.asarray(rad_pallas), np.asarray(rad_default), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_d))

@@ -57,3 +57,43 @@ def test_procedural_sky_deterministic():
     np.testing.assert_array_equal(a, b)
     assert a.shape == (32, 32, 3)
     assert a.min() >= 0 and a.max() <= 1
+
+
+def test_packed_bilinear_matches_4tap():
+    from cpppathtracer_tpu.ops.texture import pack_bilinear, sample_packed
+
+    tex = RNG.uniform(0, 1, (19, 31, 3)).astype(np.float32)
+    u = RNG.uniform(-1.5, 1.5, 2048).astype(np.float32)
+    v = RNG.uniform(-1.5, 1.5, 2048).astype(np.float32)
+    want = np.asarray(texture.sample_bilinear(jnp.asarray(tex), jnp.asarray(u), jnp.asarray(v)))
+    pt = pack_bilinear(jnp.asarray(tex))
+    got = np.asarray(sample_packed(pt, jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_packed_sky_matches_sky():
+    from cpppathtracer_tpu.ops.texture import pack_bilinear, sample_sky_packed
+
+    tex = RNG.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    d = RNG.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    want = np.asarray(texture.sample_sky(jnp.asarray(tex), jnp.asarray(d)))
+    got = np.asarray(sample_sky_packed(pack_bilinear(jnp.asarray(tex)), jnp.asarray(d)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_packed_bilinear_differentiable():
+    import jax
+    from cpppathtracer_tpu.ops.texture import pack_bilinear, sample_packed
+
+    tex = jnp.asarray(RNG.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+    u = jnp.asarray(RNG.uniform(0, 1, 64).astype(np.float32))
+    v = jnp.asarray(RNG.uniform(0, 1, 64).astype(np.float32))
+
+    def f(t):
+        return jnp.sum(sample_packed(pack_bilinear(t), u, v))
+
+    g = np.asarray(jax.grad(f)(tex))
+    assert np.isfinite(g).all()
+    # bilinear weights sum to 1 per sample
+    np.testing.assert_allclose(g.sum(), 64 * 3, rtol=1e-4)
