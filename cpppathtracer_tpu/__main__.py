@@ -182,6 +182,21 @@ def _size_arg(value: str) -> str:
     return value
 
 
+def cmd_interactive(args):
+    from cpppathtracer_tpu.interactive import run
+    from cpppathtracer_tpu.models.presets import PRESETS
+
+    preset = PRESETS[args.preset]
+    scene, camera = preset.build()
+    if args.size:
+        w, h = map(int, args.size.split("x"))
+        camera = camera.resize(w, h)
+    else:
+        camera = camera.resize(128, 72)
+    sky = _load_sky(args.sky)
+    run(scene, camera, sky, max_depth=args.depth or 6, max_frames=args.frames)
+
+
 def main(argv=None):
     from cpppathtracer_tpu.models.presets import PRESETS
 
@@ -226,6 +241,12 @@ def main(argv=None):
                     help="decorrelate MC samples per step (noisier loss)")
     sp.add_argument("--out-dir", default="inverse_out")
     sp.set_defaults(fn=cmd_invert)
+
+    sp = sub.add_parser("interactive")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=None,
+                    help="stop after N frames (default: run until ESC)")
+    sp.set_defaults(fn=cmd_interactive)
 
     sp = sub.add_parser("bench")
     sp.set_defaults(fn=lambda a: __import__("bench").main())

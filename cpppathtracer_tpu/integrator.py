@@ -190,10 +190,21 @@ def render_radiance(
     if pixel_idx is None:
         pixel_idx = jnp.arange(camera.width * camera.height, dtype=jnp.int32)
 
-    def body(acc, s):
-        rad, n0, t0 = render_sample(
-            scene, camera, sky_tex, pixel_idx, sample_offset + s, seed, max_depth,
+    # Rematerialize each sample in the backward sweep: without this the
+    # spp-scan saves every sample's inner bounce-scan carries (~0.8 GB per
+    # spp step at 1024^2) and 64spp fwd+bwd overflows HBM; with it, per-step
+    # residuals are just the O(pixels) accumulators.
+    def _one_sample(scene, camera, sky_tex, tex_stack, s):
+        return render_sample(
+            scene, camera, sky_tex, pixel_idx, s, seed, max_depth,
             tex_stack=tex_stack,
+        )
+
+    _one_sample_ckpt = jax.checkpoint(_one_sample)
+
+    def body(acc, s):
+        rad, n0, t0 = _one_sample_ckpt(
+            scene, camera, sky_tex, tex_stack, sample_offset + s
         )
         acc_rad, acc_n, acc_t = acc
         keep_first = s == 0

@@ -74,8 +74,9 @@ def test_sharded_train_step_matches_single():
     from cpppathtracer_tpu.parallel.render import make_sharded_loss
 
     loss_fn = make_sharded_loss(mesh, 1, 2, 0)
-    l2, g2 = jax.value_and_grad(
-        lambda p: loss_fn(p, scene, cam, SKY, pix, tgt)
+    # checkpointed scan bodies inside shard_map require jit around it
+    l2, g2 = jax.jit(
+        jax.value_and_grad(lambda p: loss_fn(p, scene, cam, SKY, pix, tgt))
     )({"kd": scene.kd})
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g2["kd"]), np.asarray(g1), rtol=1e-4, atol=1e-7)
