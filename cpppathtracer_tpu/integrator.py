@@ -67,7 +67,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
     sky_packed = texture.pack_bilinear(sky_tex)
 
-    @jax.checkpoint
+    @functools.partial(
+        jax.checkpoint,
+        policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
+    )
     def body(carry, bounce):
         (origin, direction, throughput, radiance, alive,
          miss_dir, miss_thru, missed, first_n, first_t) = carry

@@ -37,8 +37,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
-from cpppathtracer_tpu.ops import mathx
 from cpppathtracer_tpu.ops.intersect import _object_hit_attrs, _safe_div
 from cpppathtracer_tpu.types import DEFAULT_RAY_TMAX, Hit, Rays
 
@@ -219,6 +219,10 @@ def intersect_and_gather(gs: GroupedScene, rays: Rays):
     t_all = _candidates_grouped(gs, rays)  # [R, Na]
     na = t_all.shape[1]
     gidx = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # [R]
+    # Named so the bounce-body remat policy can SAVE the winner index:
+    # the backward replay then reconstructs the record from gidx and the
+    # whole [R, N] candidate computation is dead-code-eliminated.
+    gidx = checkpoint_name(gidx, "hit_idx")
 
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (rays.tmin.shape[0], na), 1)

@@ -150,13 +150,6 @@ def _kernel(counts, n_pad, rays_ref, geom_ref, table_ref, rec_ref, t_ref):
     t_ref[:] = t_best
 
 
-def _pad_to(x, n, fill=0.0):
-    pad = n - x.shape[0]
-    if pad <= 0:
-        return x
-    return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
-
-
 @functools.partial(jax.jit, static_argnames=("counts", "tile", "interpret"))
 def pallas_intersect_records(origin, direction, tmin, tmax, geom, table, *,
                              counts, tile=1024, interpret=False):
