@@ -196,14 +196,23 @@ def render_radiance(
     # Rematerialize each sample in the backward sweep: without this the
     # spp-scan saves every sample's inner bounce-scan carries (~0.8 GB per
     # spp step at 1024^2) and 64spp fwd+bwd overflows HBM; with it, per-step
-    # residuals are just the O(pixels) accumulators.
+    # residuals are just the O(pixels) accumulators.  The policy saves the
+    # per-bounce winner indices (named in ops/fast.py) through THIS level
+    # too: the backward sample replay then rebuilds each bounce's record
+    # from the saved index and the whole [R, N] candidate computation —
+    # the dominant forward cost — runs exactly once per sample, in the
+    # true forward pass.  Residual cost: max_depth x int32[R] per spp step
+    # (32 MB/step at 1024^2 x 8 bounces).
     def _one_sample(scene, camera, sky_tex, tex_stack, s):
         return render_sample(
             scene, camera, sky_tex, pixel_idx, s, seed, max_depth,
             tex_stack=tex_stack,
         )
 
-    _one_sample_ckpt = jax.checkpoint(_one_sample)
+    _one_sample_ckpt = jax.checkpoint(
+        _one_sample,
+        policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
+    )
 
     def body(acc, s):
         rad, n0, t0 = _one_sample_ckpt(

@@ -211,25 +211,151 @@ def _candidates_grouped(gs: GroupedScene, rays: Rays):
     return jnp.concatenate(parts, axis=1)
 
 
+def _winner_grouped_T(gs: GroupedScene, rays: Rays):
+    """Closest-hit winner (t_best f32[R], grouped index i32[R]) with the
+    OBJECT axis on sublanes: every per-(object,ray) array is [Ng, R].
+
+    Same math as :func:`_candidates_grouped` with the axes swapped.  Why:
+    TPU vector registers are (8 sublanes x 128 lanes); an [R, Ng] array
+    pads Ng to 128 *lanes*, so a 38-sphere group burns 128 lanes of VPU
+    work per ray.  [Ng, R] pads Ng to 8 *sublanes* instead (38 -> 40),
+    cutting candidate VPU work ~3-4x at demo-scene sizes.  The per-group
+    min/argmin then combines across groups with [R]-sized selects — no
+    [R, Na] concat ever materializes.  Tie-break matches the concat+argmin
+    form: earlier grouped index wins on exactly-equal t."""
+    n_s, n_p, n_c = gs.counts
+    o = rays.origin  # [R,3]
+    d = rays.dir
+    tmin = rays.tmin[None, :]  # [1,R]
+    tmax = rays.tmax[None, :]
+    oy = o[:, 1][None, :]
+    dy = d[:, 1][None, :]
+    r_n = rays.tmin.shape[0]
+
+    def rowmm(cols, vecs):
+        # [Ng,3] x [R,3] -> [Ng,R]  (contract the coordinate axis; no
+        # explicit transpose of the ray arrays is ever formed)
+        return jax.lax.dot_general(
+            cols, vecs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    best_t = jnp.full((r_n,), _INF)
+    best_i = jnp.zeros((r_n,), jnp.int32)
+
+    def combine(best_t, best_i, t_grp, base):
+        # per-group reduction over the sublane axis
+        t_g = jnp.min(t_grp, axis=0)
+        i_g = jnp.argmin(t_grp, axis=0).astype(jnp.int32) + base
+        better = t_g < best_t
+        return jnp.where(better, t_g, best_t), jnp.where(better, i_g, best_i)
+
+    if n_s:
+        c_s = gs.center[:n_s]  # [Ns,3]
+        r_s = gs.radius[:n_s]
+        oc = rowmm(c_s, o)  # [Ns,R]
+        dc = rowmm(c_s, d)
+        od = jnp.sum(o * d, -1)[None, :]  # [1,R]
+        oo = jnp.sum(o * o, -1)[None, :]
+        a = jnp.sum(d * d, -1)[None, :]
+        cc = (jnp.sum(c_s * c_s, -1) - r_s * r_s)[:, None]  # [Ns,1]
+        b = od - dc
+        c = oo - 2.0 * oc + cc
+        disc = b * b - a * c
+        has = disc > 0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)
+        t_near = (-b - sq) * inv_a
+        t_far = (-b + sq) * inv_a
+        nv = has & (t_near < tmax) & (t_near > tmin)
+        fv = has & (t_far < tmax) & (t_far > tmin)
+        t_sph = jnp.where(nv, t_near, jnp.where(fv, t_far, _INF))
+        best_t, best_i = combine(best_t, best_i, t_sph, 0)
+
+    if n_p:
+        y0 = gs.y_pos[n_s : n_s + n_p][:, None]  # [Np,1]
+        crossing = ((oy < y0) & (dy > 0.0)) | ((oy > y0) & (dy < 0.0))
+        t = _safe_div(y0 - oy, dy)
+        v = crossing & (t < tmax) & (t > tmin)
+        best_t, best_i = combine(
+            best_t, best_i, jnp.where(v, t, _INF), n_s
+        )
+
+    if n_c:
+        sl = slice(n_s + n_p, n_s + n_p + n_c)
+        c_c = gs.center[sl]  # [Nc,3]
+        r_c = gs.radius[sl]
+        h_c = gs.height[sl]
+        cx = c_c[:, 0][:, None]  # [Nc,1]
+        cy = c_c[:, 1][:, None]
+        cz = c_c[:, 2][:, None]
+        ox, oz = o[:, 0][None, :], o[:, 2][None, :]
+        dx, dz = d[:, 0][None, :], d[:, 2][None, :]
+        y_top = cy + h_c[:, None] / 2
+        y_bot = cy - h_c[:, None] / 2
+        rr = r_c[:, None]
+
+        def cap(y_plane):
+            crossing = ((oy < y_plane) & (dy > 0.0)) | ((oy > y_plane) & (dy < 0.0))
+            t = _safe_div(y_plane - oy, dy)
+            hx = ox + t * dx
+            hz = oz + t * dz
+            r2 = (hx - cx) ** 2 + (hz - cz) ** 2
+            v = crossing & (t < tmax) & (t > tmin) & (rr > 0.0) & (r2 < rr * rr)
+            return jnp.where(v, t, _INF)
+
+        t_cap = jnp.minimum(cap(y_top), cap(y_bot))
+
+        c2 = jnp.stack([c_c[:, 0], c_c[:, 2]], -1)  # [Nc,2]
+        o2 = jnp.stack([o[:, 0], o[:, 2]], -1)  # [R,2]
+        d2 = jnp.stack([d[:, 0], d[:, 2]], -1)
+        oc2 = rowmm(c2, o2)  # [Nc,R]
+        dc2 = rowmm(c2, d2)
+        od2 = jnp.sum(o2 * d2, -1)[None, :]
+        oo2 = jnp.sum(o2 * o2, -1)[None, :]
+        ax = jnp.sum(d2 * d2, -1)[None, :]
+        cc2 = (jnp.sum(c2 * c2, -1) - r_c * r_c)[:, None]
+        b2 = od2 - dc2
+        cq = oo2 - 2.0 * oc2 + cc2
+        disc = b2 * b2 - ax * cq
+        has = disc > 0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        inv_ax = 1.0 / jnp.where(ax == 0.0, 1.0, ax)
+        t_ln = (-b2 - sq) * inv_ax
+        t_lf = (-b2 + sq) * inv_ax
+
+        def lat_ok(t):
+            hy = oy + t * dy
+            return has & (t < tmax) & (t > tmin) & (hy > y_bot) & (hy < y_top)
+
+        t_lat = jnp.minimum(
+            jnp.where(lat_ok(t_ln), t_ln, _INF), jnp.where(lat_ok(t_lf), t_lf, _INF)
+        )
+        best_t, best_i = combine(
+            best_t, best_i, jnp.minimum(t_cap, t_lat), n_s + n_p
+        )
+
+    return best_t, best_i
+
+
 def intersect_and_gather(gs: GroupedScene, rays: Rays):
     """Closest hit + packed winner record in one pass.
 
     Returns (Hit, mats dict) where mats matches
     `bsdf.gather_materials`'s output (already per-ray)."""
-    t_all = _candidates_grouped(gs, rays)  # [R, Na]
-    na = t_all.shape[1]
-    gidx = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # [R]
+    na = sum(gs.counts)
+    _, gidx = _winner_grouped_T(gs, rays)  # [R]
     # Named so the bounce-body remat policy can SAVE the winner index:
     # the backward replay then reconstructs the record from gidx and the
-    # whole [R, N] candidate computation is dead-code-eliminated.
+    # whole [N, R] candidate computation is dead-code-eliminated.
     gidx = checkpoint_name(gidx, "hit_idx")
 
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (rays.tmin.shape[0], na), 1)
-        == gidx[:, None]
+        jax.lax.broadcasted_iota(jnp.int32, (na, rays.tmin.shape[0]), 0)
+        == gidx[None, :]
     ).astype(jnp.float32)
     rec = jax.lax.dot_general(
-        onehot, gs.table[:na], (((1,), (0,)), ((), ())),
+        onehot, gs.table[:na], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, F]
 

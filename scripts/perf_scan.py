@@ -66,7 +66,36 @@ def step_cand(c):
     return c + 1e-30 * m[:, None]
 
 
-scan_time("candidates+min", step_cand)
+scan_time("candidates+min [R,N]", step_cand)
+
+
+# transposed winner (objects on sublanes)
+def step_cand_t(c):
+    t, i = fast._winner_grouped_T(gs, mk_rays(c))
+    return c + 1e-30 * (t + i.astype(jnp.float32))[:, None]
+
+
+scan_time("winner_T [N,R]", step_cand_t)
+
+
+# record gather only (one-hot matmul from a fixed index)
+gidx0 = jnp.zeros(R, jnp.int32)
+na = sum(gs.counts)
+
+
+def step_rec(c):
+    gidx = (gidx0 + c[:, 0].astype(jnp.int32)) % na
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (na, R), 0) == gidx[None, :]
+    ).astype(jnp.float32)
+    rec = jax.lax.dot_general(
+        onehot, gs.table[:na], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return c + 1e-30 * rec[:, 0:3]
+
+
+scan_time("record one-hot matmul", step_rec)
 
 
 # shade only
