@@ -34,7 +34,6 @@ camera/geometry parameters.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +42,6 @@ from cpppathtracer_tpu.models.camera import Camera
 from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, texture
 from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX, Rays
 from cpppathtracer_tpu.utils import rng as prng
-
-# Opt-in Pallas intersection kernel (ops/pallas/intersect_kernel.py);
-# interpret-mode on CPU, native Mosaic on TPU.
-_USE_PALLAS = os.environ.get("POCA_PALLAS", "0") == "1"
 
 
 def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int,
@@ -67,10 +62,16 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
     sky_packed = texture.pack_bilinear(sky_tex)
 
-    @functools.partial(
-        jax.checkpoint,
-        policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
-    )
+    # NOTE deliberately NOT jax.checkpoint'ed: the per-SAMPLE checkpoint in
+    # render_radiance (policy saves the named hit_idx) already bounds
+    # residual memory, and plain scan AD keeps only the residuals the VJP
+    # needs — the [N,R] candidate matrix feeds nothing but the
+    # (zero-gradient) argmin, so it is dead code in the backward either
+    # way.  A second remat level here would make the backward replay the
+    # record-gather/rng/shade chain TWICE per bounce (once in the sample
+    # replay, once per bounce-step), measured at ~25% of total fwd+bwd
+    # time at the bench config.  Transient cost: one sample's bounce-scan
+    # residuals (~O(R) per bounce) live during that sample's backward.
     def body(carry, bounce):
         (origin, direction, throughput, radiance, alive,
          miss_dir, miss_thru, missed, first_n, first_t) = carry
@@ -81,10 +82,9 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             tmax=jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32),
         )
         if gs is not None:
-            if _USE_PALLAS:
-                hit, mats = fast.intersect_and_gather_pl_ad(gs, cur)
-            else:
-                hit, mats = fast.intersect_and_gather(gs, cur)
+            # dispatches to the fused Pallas winner kernel on TPU, the
+            # XLA [N,R] fast path elsewhere (env POCA_PALLAS overrides)
+            hit, mats = fast.intersect_and_gather(gs, cur)
         else:
             hit = intersect.intersect(scene, cur)
             mats = bsdf.gather_materials(scene, hit.obj_idx)

@@ -33,6 +33,7 @@ hit distances.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -338,18 +339,41 @@ def _winner_grouped_T(gs: GroupedScene, rays: Rays):
     return best_t, best_i
 
 
-def intersect_and_gather(gs: GroupedScene, rays: Rays):
-    """Closest hit + packed winner record in one pass.
+def winner_index_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
+    """Winner index via the fused Pallas kernel (dense grouped coords).
 
-    Returns (Hit, mats dict) where mats matches
-    `bsdf.gather_materials`'s output (already per-ray)."""
+    The kernel keeps every [N, R]-shaped intermediate in VMEM — it reads
+    8 f32 and writes 1 int32 per ray.  Same per-group math/tie-break as
+    :func:`_winner_grouped_T`; the index is piecewise-constant so the
+    kernel needs no autodiff (gradients flow through the epilogue)."""
+    from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
+        build_geom_rows,
+        pallas_winner_index,
+    )
+
+    r = rays.tmin.shape[0]
+    tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
+    r_pad = -(-r // tile) * tile
+    rays_packed = jnp.stack(
+        [
+            rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
+            rays.dir[:, 0], rays.dir[:, 1], rays.dir[:, 2],
+            rays.tmin, rays.tmax,
+        ]
+    )  # [8, R]
+    if r_pad != r:
+        rays_packed = jnp.pad(rays_packed, ((0, 0), (0, r_pad - r)))
+    geom = build_geom_rows(gs)
+    gidx = pallas_winner_index(
+        jax.lax.stop_gradient(rays_packed), jax.lax.stop_gradient(geom),
+        counts=gs.counts, tile=tile, interpret=interpret,
+    )
+    return gidx[:r]
+
+
+def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
+    """Differentiable record fetch + hit attributes from a winner index."""
     na = sum(gs.counts)
-    _, gidx = _winner_grouped_T(gs, rays)  # [R]
-    # Named so the bounce-body remat policy can SAVE the winner index:
-    # the backward replay then reconstructs the record from gidx and the
-    # whole [N, R] candidate computation is dead-code-eliminated.
-    gidx = checkpoint_name(gidx, "hit_idx")
-
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (na, rays.tmin.shape[0]), 0)
         == gidx[None, :]
@@ -393,85 +417,32 @@ def intersect_and_gather(gs: GroupedScene, rays: Rays):
     return out, mats
 
 
-def intersect_and_gather_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
-    """Pallas-kernel variant of :func:`intersect_and_gather` (same outputs;
-    see ops/pallas/intersect_kernel.py).  Pads the wavefront to the kernel
-    tile and reuses the XLA winner-attribute recompute."""
-    from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
-        build_geom,
-        pallas_intersect_records,
-    )
+def intersect_and_gather(gs: GroupedScene, rays: Rays, use_pallas: bool | None = None):
+    """Closest hit + packed winner record in one pass.
 
-    r = rays.tmin.shape[0]
-    tile = 1024
-    r_pad = -(-r // tile) * tile
-    pad = lambda a: jnp.concatenate(
-        [a, jnp.zeros((r_pad - r,) + a.shape[1:], a.dtype)], 0
-    ) if r_pad != r else a
-    geom, table = build_geom(gs)
-    rec, _t = pallas_intersect_records(
-        pad(rays.origin), pad(rays.dir), pad(rays.tmin), pad(rays.tmax),
-        geom, table, counts=gs.counts, tile=tile, interpret=interpret,
-    )
-    rec = rec[:r]
+    Returns (Hit, mats dict) where mats matches
+    `bsdf.gather_materials`'s output (already per-ray).
 
-    center = rec[:, 0:3]
-    radius = rec[:, 3]
-    y_pos = rec[:, 4]
-    height = rec[:, 5]
-    prim_type = rec[:, 6].astype(jnp.int32)
-    t, normal = _object_hit_attrs(
-        prim_type, center, radius, y_pos, height,
-        rays.origin, rays.dir, rays.tmin, rays.tmax,
-    )
-    hit = t < _INF
-    t_safe = jnp.where(hit, t, 0.0)
-    pos = rays.origin + t_safe[..., None] * rays.dir
-    orig_idx = rec[:, 16].astype(jnp.int32)
-    out = Hit(
-        t=jnp.where(hit, t, _INF),
-        hit=hit,
-        pos=pos,
-        normal=jnp.where(hit[..., None], normal, 0.0),
-        obj_idx=jnp.where(hit, orig_idx, -1),
-    )
-    mats = {
-        "mat_type": rec[:, 7].astype(jnp.int32),
-        "kd": rec[:, 8:11],
-        "emission": rec[:, 11],
-        "smoothness": rec[:, 12],
-        "reflectivity": rec[:, 13],
-        "ior": rec[:, 14],
-        "tex_id": rec[:, 15].astype(jnp.int32),
-        "_geom": (prim_type, center, radius, y_pos, height),
-    }
-    return out, mats
-
-
-# --- autodiff wrapper: Pallas forward, XLA-recompute backward -------------
-# pallas_call has no VJP; the backward math of the XLA fast path is
-# identical (same formulas), so gradients are unchanged.
-
-import jax as _jax
-
-
-@_jax.custom_vjp
-def intersect_and_gather_pl_ad(gs, rays):
-    return intersect_and_gather(gs, rays)
-
-
-def _iag_fwd(gs, rays):
-    import jax as j
-
-    interpret = j.default_backend() == "cpu"
-    out = intersect_and_gather_pallas(gs, rays, interpret=interpret)
-    return out, (gs, rays)
-
-
-def _iag_bwd(res, ct):
-    gs, rays = res
-    _, vjp = _jax.vjp(intersect_and_gather, gs, rays)
-    return vjp(ct)
-
-
-intersect_and_gather_pl_ad.defvjp(_iag_fwd, _iag_bwd)
+    Winner selection runs as the fused Pallas kernel on TPU (default) or
+    the XLA [N,R] fast path elsewhere; `use_pallas` (or env POCA_PALLAS=
+    0/1) overrides.  Both produce identical indices
+    (tests/test_pallas_kernel.py)."""
+    if use_pallas is None:
+        force = os.environ.get("POCA_PALLAS", "")
+        if force == "1":
+            use_pallas = True
+        elif force == "0":
+            use_pallas = False
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        gidx = winner_index_pallas(
+            gs, rays, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        _, gidx = _winner_grouped_T(gs, rays)  # [R]
+    # Named so the remat policies (bounce body + per-sample) SAVE the
+    # winner index: backward replays reconstruct the record from gidx and
+    # the whole candidate computation is dead-code-eliminated.
+    gidx = checkpoint_name(gidx, "hit_idx")
+    return _gather_epilogue(gs, rays, gidx)

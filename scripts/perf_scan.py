@@ -78,6 +78,24 @@ def step_cand_t(c):
 scan_time("winner_T [N,R]", step_cand_t)
 
 
+# fused pallas winner kernel
+def step_winner_pl(c):
+    i = fast.winner_index_pallas(gs, mk_rays(c))
+    return c + 1e-30 * i.astype(jnp.float32)[:, None]
+
+
+scan_time("winner pallas kernel", step_winner_pl)
+
+
+# full intersect+gather via pallas
+def step_intersect_pl(c):
+    hit, mats = fast.intersect_and_gather(gs, mk_rays(c), use_pallas=True)
+    return c + 1e-30 * hit.pos
+
+
+scan_time("intersect_and_gather pallas", step_intersect_pl)
+
+
 # record gather only (one-hot matmul from a fixed index)
 gidx0 = jnp.zeros(R, jnp.int32)
 na = sum(gs.counts)
@@ -128,6 +146,40 @@ def step_sky(c):
 
 
 scan_time("sample_sky", step_sky)
+
+sky_packed = texture.pack_bilinear(sky)
+
+
+def step_sky_packed(c):
+    s = texture.sample_sky_packed(sky_packed, c)
+    return c + 1e-30 * s
+
+
+scan_time("sample_sky_packed", step_sky_packed)
+
+
+# sky uv math only (transcendentals)
+def step_sky_uv(c):
+    u, v = texture.sky_uv(c, jnp)
+    return c + 1e-30 * (u + v)[:, None]
+
+
+scan_time("sky_uv transcendentals", step_sky_uv)
+
+
+# packed-table row gather only
+import numpy as _np
+
+idx_fix = jnp.asarray(_np.random.RandomState(0).randint(0, 256 * 256, R), jnp.int32)
+
+
+def step_gather(c):
+    i = (idx_fix + c[:, 0].astype(jnp.int32)) % (256 * 256)
+    row = jnp.take(sky_packed.data, i, axis=0)
+    return c + 1e-30 * row[:, 0:3]
+
+
+scan_time("packed row gather [R,16]", step_gather)
 
 
 # full bounce body via trace_bounces depth-8 ( / 8 per bounce)

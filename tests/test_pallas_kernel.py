@@ -1,4 +1,4 @@
-"""Pallas fused intersect kernel vs the XLA fast path (interpret mode)."""
+"""Pallas fused winner-index kernel vs the XLA fast path (interpret mode)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -20,12 +20,21 @@ def _rays(n):
 
 
 @pytest.mark.parametrize("scene_fn", [lambda: demo_scene(seed=0).build()])
-def test_pallas_matches_xla_fast_path(scene_fn):
+def test_pallas_winner_matches_xla(scene_fn):
     scene = scene_fn()
     gs = fast.group_scene(scene)
     rays = _rays(512)
-    hit_x, mats_x = fast.intersect_and_gather(gs, rays)
-    hit_p, mats_p = fast.intersect_and_gather_pallas(gs, rays, interpret=True)
+    _, gidx_x = fast._winner_grouped_T(gs, rays)
+    gidx_p = fast.winner_index_pallas(gs, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gidx_x), np.asarray(gidx_p))
+
+
+def test_pallas_full_intersect_matches_xla():
+    scene = demo_scene(seed=0).build()
+    gs = fast.group_scene(scene)
+    rays = _rays(512)
+    hit_x, mats_x = fast.intersect_and_gather(gs, rays, use_pallas=False)
+    hit_p, mats_p = fast.intersect_and_gather(gs, rays, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(hit_x.hit), np.asarray(hit_p.hit))
     m = np.asarray(hit_x.hit)
     np.testing.assert_allclose(
@@ -52,28 +61,37 @@ def test_pallas_small_scene_types():
     scene = b.build()
     gs = fast.group_scene(scene)
     rays = _rays(256)
-    hit_x, _ = fast.intersect_and_gather(gs, rays)
-    hit_p, _ = fast.intersect_and_gather_pallas(gs, rays, interpret=True)
+    hit_x, _ = fast.intersect_and_gather(gs, rays, use_pallas=False)
+    hit_p, _ = fast.intersect_and_gather(gs, rays, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(hit_x.hit), np.asarray(hit_p.hit))
     m = np.asarray(hit_x.hit)
     np.testing.assert_allclose(np.asarray(hit_p.t)[m], np.asarray(hit_x.t)[m], rtol=1e-6)
 
 
 def test_integrator_with_pallas_matches_default(monkeypatch):
-    import importlib
-
+    # Controlled scene (no grazing near-ties): the kernel's elementwise
+    # inner products and XLA's dot_general round differently at ulp
+    # scale, which can flip self-hit ties on the dense demo scene (the
+    # acne-flip population quantified in test_integrator's golden test);
+    # here equality must be exact through all bounces.
     import cpppathtracer_tpu.integrator as integ
     from cpppathtracer_tpu.models.camera import Camera
     from cpppathtracer_tpu.ops.texture import procedural_sky
+    from cpppathtracer_tpu.types import MaterialType
 
-    scene = demo_scene(seed=0).build()
-    cam = Camera.make(16, 12, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.8, 0.8, 0.8))
+    b.add_sphere((0.0, 2.0, 0.0), 2.0, kd=(0.7, 0.3, 0.2))
+    b.add_sphere((4.5, 1.5, 1.0), 1.5, mat_type=MaterialType.METAL, smoothness=0.8)
+    b.add_cylinder((-4.5, 1.5, 0.0), 1.2, 3.0, mat_type=MaterialType.GLASS, ior=1.5)
+    scene = b.build()
+    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
     sky = jnp.asarray(procedural_sky(16, 16))
     pix = jnp.arange(16 * 12, dtype=jnp.int32)
-    rad_default, n_d, t_d = integ.render_sample(scene, cam, sky, pix, 0, 0, 4)
+    rad_default, n_d, t_d = integ.render_sample(scene, cam, sky, pix, 0, 0, 6)
 
-    monkeypatch.setattr(integ, "_USE_PALLAS", True)
-    rad_pallas, n_p, t_p = integ.render_sample(scene, cam, sky, pix, 0, 0, 4)
+    monkeypatch.setenv("POCA_PALLAS", "1")
+    rad_pallas, n_p, t_p = integ.render_sample(scene, cam, sky, pix, 0, 0, 6)
     np.testing.assert_allclose(
         np.asarray(rad_pallas), np.asarray(rad_default), atol=1e-6
     )
