@@ -62,16 +62,16 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
     sky_packed = texture.pack_bilinear(sky_tex)
 
-    # NOTE deliberately NOT jax.checkpoint'ed: the per-SAMPLE checkpoint in
-    # render_radiance (policy saves the named hit_idx) already bounds
-    # residual memory, and plain scan AD keeps only the residuals the VJP
-    # needs — the [N,R] candidate matrix feeds nothing but the
-    # (zero-gradient) argmin, so it is dead code in the backward either
-    # way.  A second remat level here would make the backward replay the
-    # record-gather/rng/shade chain TWICE per bounce (once in the sample
-    # replay, once per bounce-step), measured at ~25% of total fwd+bwd
-    # time at the bench config.  Transient cost: one sample's bounce-scan
-    # residuals (~O(R) per bounce) live during that sample's backward.
+    # The bounce body is jax.checkpoint'ed below (second remat level under
+    # the per-sample checkpoint in render_radiance).  Without it, the
+    # backward's per-sample replay stacks plain-scan-AD residuals per
+    # bounce — profiled at ~470ms of raw dynamic-update-slice/-slice
+    # traffic out of a 1012ms fwd+bwd program (512^2x16spp, v5e).  With
+    # the body checkpointed on the save-only-hit_idx policy, residuals
+    # per bounce are just the carries + the winner index; the backward
+    # replays the cheap record-gather/rng/shade chain from the saved
+    # index and the Pallas winner kernel never re-runs.  Measured 2.1x
+    # end-to-end fwd+bwd (32.8 -> 69.8 Mrays/s at that config).
     def body(carry, bounce):
         (origin, direction, throughput, radiance, alive,
          miss_dir, miss_thru, missed, first_n, first_t) = carry
@@ -136,6 +136,11 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             origin, direction, throughput, radiance, new_alive,
             miss_dir, miss_thru, missed, first_n, first_t,
         ), None
+
+    body = jax.checkpoint(
+        body,
+        policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
+    )
 
     # Carry inits derive from the ray arrays (not fresh constants) so that
     # under shard_map their varying-manual-axes type matches the loop
