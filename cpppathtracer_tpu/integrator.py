@@ -34,12 +34,13 @@ camera/geometry parameters.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from cpppathtracer_tpu.models.camera import Camera
-from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, texture
+from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, planar, texture
 from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX, Rays
 from cpppathtracer_tpu.utils import rng as prng
 
@@ -61,6 +62,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     gs = fast.group_scene(scene)
     # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
     sky_packed = texture.pack_bilinear(sky_tex)
+    use_planar = (
+        gs is not None and len(batch) == 1 and tex_stack is None
+        and os.environ.get("POCA_PLANAR", "1") != "0"
+    )
 
     # The bounce body is jax.checkpoint'ed below (second remat level under
     # the per-sample checkpoint in render_radiance).  Without it, the
@@ -72,7 +77,49 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # replays the cheap record-gather/rng/shade chain from the saved
     # index and the Pallas winner kernel never re-runs.  Measured 2.1x
     # end-to-end fwd+bwd (32.8 -> 69.8 Mrays/s at that config).
+    #
+    # The body computes in PLANAR layout (ops/planar.py): every 3-vector
+    # carry is three flat f32[R] planes, which XLA tiles as {T(1024)} at
+    # full VPU width — the [R,3]/[R,1] row-major forms waste 2-8x of each
+    # (8 sublane x 128 lane) register (profiled at 1024^2).
     def body(carry, bounce):
+        (o, dirn, thru, rad, alive,
+         miss_dir, miss_thru, missed, first_n, first_t) = carry
+        tmin = jnp.where(bounce == 0, 0.0, BOUNCE_RAY_TMIN) * jnp.ones(batch, jnp.float32)
+        tmax = jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32)
+        # dispatches to the fused Pallas winner kernel on TPU, the
+        # XLA [N,R] fast path elsewhere (env POCA_PALLAS overrides)
+        hit, mats = fast.intersect_and_gather_planar(gs, o, dirn, tmin, tmax)
+        u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + bounce)
+        bounce_dir, attenuation, emitted = planar.shade_p(
+            mats, hit["normal"], dirn, u1, u2, u3
+        )
+        live_hit = hit["hit"] & alive
+        lh = live_hit.astype(jnp.float32)
+        rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
+        # record termination state at the first miss (sky applied after the
+        # scan); `alive` can only be True pre-miss so this fires once.
+        new_miss = alive & ~hit["hit"]
+        miss_dir = planar.where_p(new_miss, dirn, miss_dir)
+        miss_thru = planar.where_p(new_miss, thru, miss_thru)
+        missed = missed | new_miss
+        thru = planar.where_p(live_hit, planar.mul_p(thru, attenuation), thru)
+
+        # First-bounce denoiser aux (miss normal = -dir, path_tracer.cu:152).
+        n0 = planar.where_p(hit["hit"], hit["normal"], planar.scale_p(dirn, -1.0))
+        t0 = jnp.where(hit["hit"], hit["t"], DEFAULT_RAY_TMAX)
+        first_n = planar.where_p(bounce == 0, n0, first_n)
+        first_t = jnp.where(bounce == 0, t0, first_t)
+
+        new_alive = alive & hit["hit"]
+        o = planar.where_p(hit["hit"], hit["pos"], o)
+        dirn = planar.where_p(hit["hit"], planar.normalize_p(bounce_dir), dirn)
+        return (
+            o, dirn, thru, rad, new_alive,
+            miss_dir, miss_thru, missed, first_n, first_t,
+        ), None
+
+    def body_rowmajor(carry, bounce):
         (origin, direction, throughput, radiance, alive,
          miss_dir, miss_thru, missed, first_n, first_t) = carry
         cur = Rays(
@@ -82,8 +129,6 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             tmax=jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32),
         )
         if gs is not None:
-            # dispatches to the fused Pallas winner kernel on TPU, the
-            # XLA [N,R] fast path elsewhere (env POCA_PALLAS overrides)
             hit, mats = fast.intersect_and_gather(gs, cur)
         else:
             hit = intersect.intersect(scene, cur)
@@ -111,8 +156,6 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         )
         live_hit = hit.hit & alive
         radiance = radiance + throughput * emitted * live_hit[..., None]
-        # record termination state at the first miss (sky applied after the
-        # scan); `alive` can only be True pre-miss so this fires once.
         new_miss = alive & ~hit.hit
         miss_dir = jnp.where(new_miss[..., None], direction, miss_dir)
         miss_thru = jnp.where(new_miss[..., None], throughput, miss_thru)
@@ -120,13 +163,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         throughput = jnp.where(
             live_hit[..., None], throughput * attenuation, throughput
         )
-
-        # First-bounce denoiser aux (miss normal = -dir, path_tracer.cu:152).
         n0 = jnp.where(hit.hit[..., None], hit.normal, -direction)
         t0 = jnp.where(hit.hit, hit.t, DEFAULT_RAY_TMAX)
         first_n = jnp.where(bounce == 0, n0, first_n)
         first_t = jnp.where(bounce == 0, t0, first_t)
-
         new_alive = alive & hit.hit
         origin = jnp.where(hit.hit[..., None], hit.pos, origin)
         direction = jnp.where(
@@ -137,31 +177,49 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             miss_dir, miss_thru, missed, first_n, first_t,
         ), None
 
-    body = jax.checkpoint(
-        body,
+    ckpt = functools.partial(
+        jax.checkpoint,
         policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
     )
 
     # Carry inits derive from the ray arrays (not fresh constants) so that
     # under shard_map their varying-manual-axes type matches the loop
     # outputs (JAX >= 0.9 check_vma).
-    zero3 = rays.origin * 0.0
-    zero1 = rays.tmin * 0.0
-    init = (
-        rays.origin,
-        rays.dir,
-        zero3 + 1.0,  # throughput
-        zero3,  # radiance
-        rays.tmax > 0.0,  # alive (all True)
-        rays.dir,  # miss_dir placeholder (unit; masked by `missed`)
-        zero3,  # miss throughput
-        rays.tmax < 0.0,  # missed (all False)
-        zero3,  # first normal
-        zero1,  # first t
-    )
-    (_, _, _, radiance, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
-        jax.lax.scan(body, init, jnp.arange(max_depth))
-    )
+    if use_planar:
+        o0 = planar.unstack_v3(rays.origin)
+        d0 = planar.unstack_v3(rays.dir)
+        zero1 = rays.tmin * 0.0
+        one1 = zero1 + 1.0
+        z3 = (zero1, zero1, zero1)
+        init = (
+            o0, d0, (one1, one1, one1), z3, rays.tmax > 0.0,
+            d0, z3, rays.tmax < 0.0, z3, zero1,
+        )
+        (_, _, _, rad, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
+            jax.lax.scan(ckpt(body), init, jnp.arange(max_depth))
+        )
+        radiance = planar.stack_v3(rad)
+        miss_dir = planar.stack_v3(miss_dir)
+        miss_thru = planar.stack_v3(miss_thru)
+        first_n = planar.stack_v3(first_n)
+    else:
+        zero3 = rays.origin * 0.0
+        zero1 = rays.tmin * 0.0
+        init = (
+            rays.origin,
+            rays.dir,
+            zero3 + 1.0,  # throughput
+            zero3,  # radiance
+            rays.tmax > 0.0,  # alive (all True)
+            rays.dir,  # miss_dir placeholder (unit; masked by `missed`)
+            zero3,  # miss throughput
+            rays.tmax < 0.0,  # missed (all False)
+            zero3,  # first normal
+            zero1,  # first t
+        )
+        (_, _, _, radiance, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
+            jax.lax.scan(ckpt(body_rowmajor), init, jnp.arange(max_depth))
+        )
     sky = texture.sample_sky_packed(sky_packed, miss_dir)
     radiance = radiance + miss_thru * sky * missed[..., None]
     return radiance, first_n, first_t

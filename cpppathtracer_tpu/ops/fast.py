@@ -339,28 +339,21 @@ def _winner_grouped_T(gs: GroupedScene, rays: Rays):
     return best_t, best_i
 
 
-def winner_index_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
-    """Winner index via the fused Pallas kernel (dense grouped coords).
-
-    The kernel keeps every [N, R]-shaped intermediate in VMEM — it reads
-    8 f32 and writes 1 int32 per ray.  Same per-group math/tie-break as
-    :func:`_winner_grouped_T`; the index is piecewise-constant so the
-    kernel needs no autodiff (gradients flow through the epilogue)."""
+def _winner_index_packed(gs: GroupedScene, rays_packed, interpret: bool = False):
+    """Winner index from a pre-packed [8, R] ray matrix (fused Pallas
+    kernel).  The kernel keeps every [N, R]-shaped intermediate in VMEM —
+    it reads 8 f32 and writes 1 int32 per ray.  Same per-group
+    math/tie-break as :func:`_winner_grouped_T`; the index is
+    piecewise-constant so the kernel needs no autodiff (gradients flow
+    through the epilogue)."""
     from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
         build_geom_rows,
         pallas_winner_index,
     )
 
-    r = rays.tmin.shape[0]
+    r = rays_packed.shape[1]
     tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
     r_pad = -(-r // tile) * tile
-    rays_packed = jnp.stack(
-        [
-            rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
-            rays.dir[:, 0], rays.dir[:, 1], rays.dir[:, 2],
-            rays.tmin, rays.tmax,
-        ]
-    )  # [8, R]
     if r_pad != r:
         rays_packed = jnp.pad(rays_packed, ((0, 0), (0, r_pad - r)))
     geom = build_geom_rows(gs)
@@ -369,6 +362,18 @@ def winner_index_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
         counts=gs.counts, tile=tile, interpret=interpret,
     )
     return gidx[:r]
+
+
+def winner_index_pallas(gs: GroupedScene, rays: Rays, interpret: bool = False):
+    """Winner index via the fused Pallas kernel (row-major Rays entry)."""
+    rays_packed = jnp.stack(
+        [
+            rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
+            rays.dir[:, 0], rays.dir[:, 1], rays.dir[:, 2],
+            rays.tmin, rays.tmax,
+        ]
+    )  # [8, R]
+    return _winner_index_packed(gs, rays_packed, interpret=interpret)
 
 
 def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
@@ -446,3 +451,38 @@ def intersect_and_gather(gs: GroupedScene, rays: Rays, use_pallas: bool | None =
     # the whole candidate computation is dead-code-eliminated.
     gidx = checkpoint_name(gidx, "hit_idx")
     return _gather_epilogue(gs, rays, gidx)
+
+
+def _use_pallas_default(use_pallas):
+    if use_pallas is None:
+        force = os.environ.get("POCA_PALLAS", "")
+        if force == "1":
+            return True
+        if force == "0":
+            return False
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
+def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
+                                use_pallas: bool | None = None):
+    """Planar-layout twin of :func:`intersect_and_gather`.
+
+    o/d are planar vec3 tuples of f32[R]; returns the planar hit record
+    + planar mats from :func:`planar.gather_epilogue_p`.  The Pallas
+    winner kernel consumes the planar components directly (no [R, 3]
+    restack); the XLA fallback stacks once per call."""
+    from cpppathtracer_tpu.ops import planar
+
+    if _use_pallas_default(use_pallas):
+        rays_packed = jnp.stack([o[0], o[1], o[2], d[0], d[1], d[2], tmin, tmax])
+        gidx = _winner_index_packed(
+            gs, rays_packed, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        rays = Rays(
+            origin=jnp.stack(o, -1), dir=jnp.stack(d, -1), tmin=tmin, tmax=tmax
+        )
+        _, gidx = _winner_grouped_T(gs, rays)
+    gidx = checkpoint_name(gidx, "hit_idx")
+    return planar.gather_epilogue_p(gs, o, d, tmin, tmax, gidx)

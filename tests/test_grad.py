@@ -29,7 +29,12 @@ def _cam():
                        view_fov=40.0)
 
 
+@jax.jit
 def _loss(scene, sky):
+    # jit'd: eager op-by-op execution rounds knife-edge hit decisions
+    # differently than the compiled program, so an FD probe evaluated
+    # eagerly can see a different branch realization of a grazing ray
+    # than the traced gradient does — jit keeps FD and AD consistent.
     rad, _, _ = render_radiance(scene, _cam(), sky, spp=2, max_depth=3, seed=5)
     return jnp.sum(rad * jnp.asarray([0.3, 0.5, 0.2]))  # arbitrary projection
 
