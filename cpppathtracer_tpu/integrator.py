@@ -63,7 +63,7 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
     sky_packed = texture.pack_bilinear(sky_tex)
     use_planar = (
-        gs is not None and len(batch) == 1 and tex_stack is None
+        gs is not None and len(batch) == 1
         and os.environ.get("POCA_PLANAR", "1") != "0"
     )
 
@@ -91,8 +91,22 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         # XLA [N,R] fast path elsewhere (env POCA_PALLAS overrides)
         hit, mats = fast.intersect_and_gather_planar(gs, o, dirn, tmin, tmax)
         u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + bounce)
+        kd_override = None
+        if tex_stack is not None:
+            # per-material albedo textures (Material::GetKd with real UVs,
+            # see ops/uv.py); static unroll over the texture stack.
+            from cpppathtracer_tpu.ops.uv import surface_uv_p
+
+            tid = mats["tex_id"]
+            uu, vv = surface_uv_p(*mats["_geom_p"], hit["pos"])
+            zed = jnp.zeros_like(uu)
+            kd_tex = (zed, zed, zed)
+            for t in range(tex_stack.shape[0]):
+                smp = planar.unstack_v3(texture.sample_bilinear(tex_stack[t], uu, vv))
+                kd_tex = planar.where_p(tid == t, smp, kd_tex)
+            kd_override = planar.where_p(tid >= 0, kd_tex, mats["kd_p"])
         bounce_dir, attenuation, emitted = planar.shade_p(
-            mats, hit["normal"], dirn, u1, u2, u3
+            mats, hit["normal"], dirn, u1, u2, u3, kd_override=kd_override
         )
         live_hit = hit["hit"] & alive
         lh = live_hit.astype(jnp.float32)

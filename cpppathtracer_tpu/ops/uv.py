@@ -23,6 +23,33 @@ import jax.numpy as jnp
 from cpppathtracer_tpu.types import PrimitiveType
 
 
+def surface_uv_p(prim_type, center, radius, y_pos, height, pos):
+    """Planar-layout twin of :func:`surface_uv` (identical formulas).
+
+    center/pos are planar vec3 tuples of f32[R]; returns (u, v) f32[R].
+    """
+    cx, cy, cz = center
+    px, py, pz = pos
+    relx, rely, relz = px - cx, py - cy, pz - cz
+    # sphere
+    su = jnp.arctan2(relz, relx) / (2.0 * jnp.pi) + 0.5
+    safe_r = jnp.where(radius == 0.0, 1.0, radius)
+    sv = jnp.arcsin(jnp.clip(rely / safe_r, -1.0, 1.0)) / jnp.pi + 0.5
+    # platform
+    pu = px * 0.01
+    pv = pz * 0.01
+    # cylinder
+    cu = jnp.arctan2(relz, relx) / (2.0 * jnp.pi) + 0.5
+    safe_h = jnp.where(height == 0.0, 1.0, height)
+    cv = (py - (cy - height / 2.0)) / safe_h
+
+    is_sph = prim_type == PrimitiveType.SPHERE
+    is_pla = prim_type == PrimitiveType.PLATFORM
+    u = jnp.where(is_sph, su, jnp.where(is_pla, pu, cu))
+    v = jnp.where(is_sph, sv, jnp.where(is_pla, pv, cv))
+    return u, v
+
+
 def surface_uv(prim_type, center, radius, y_pos, height, pos):
     """Per-ray hit UVs. All args gathered per-ray ([R] / [R,3])."""
     rel = pos - center
