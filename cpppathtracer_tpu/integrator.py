@@ -82,9 +82,17 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     # carry is three flat f32[R] planes, which XLA tiles as {T(1024)} at
     # full VPU width — the [R,3]/[R,1] row-major forms waste 2-8x of each
     # (8 sublane x 128 lane) register (profiled at 1024^2).
+    # Miss bookkeeping is carry-free: after a miss, `dirn`/`thru`/`alive`
+    # freeze (updates are masked by hit/live_hit, and the stale ray
+    # re-traces identically, so `hit` stays False), hence at scan end
+    #   miss direction  == final dirn
+    #   miss throughput == final thru
+    #   ever-missed     == ~final alive
+    # (truncated-alive paths get no sky — reference semantics).  This
+    # deletes 7 of the 24 carry planes plus their per-bounce selects and
+    # backward cotangent chains.
     def body(carry, bounce):
-        (o, dirn, thru, rad, alive,
-         miss_dir, miss_thru, missed, first_n, first_t) = carry
+        (o, dirn, thru, rad, alive, first_n, first_t) = carry
         tmin = jnp.where(bounce == 0, 0.0, BOUNCE_RAY_TMIN) * jnp.ones(batch, jnp.float32)
         tmax = jnp.full(batch, DEFAULT_RAY_TMAX, jnp.float32)
         # dispatches to the fused Pallas winner kernel on TPU, the
@@ -111,12 +119,6 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         live_hit = hit["hit"] & alive
         lh = live_hit.astype(jnp.float32)
         rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
-        # record termination state at the first miss (sky applied after the
-        # scan); `alive` can only be True pre-miss so this fires once.
-        new_miss = alive & ~hit["hit"]
-        miss_dir = planar.where_p(new_miss, dirn, miss_dir)
-        miss_thru = planar.where_p(new_miss, thru, miss_thru)
-        missed = missed | new_miss
         thru = planar.where_p(live_hit, planar.mul_p(thru, attenuation), thru)
 
         # First-bounce denoiser aux (miss normal = -dir, path_tracer.cu:152).
@@ -128,14 +130,10 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         new_alive = alive & hit["hit"]
         o = planar.where_p(hit["hit"], hit["pos"], o)
         dirn = planar.where_p(hit["hit"], planar.normalize_p(bounce_dir), dirn)
-        return (
-            o, dirn, thru, rad, new_alive,
-            miss_dir, miss_thru, missed, first_n, first_t,
-        ), None
+        return (o, dirn, thru, rad, new_alive, first_n, first_t), None
 
     def body_rowmajor(carry, bounce):
-        (origin, direction, throughput, radiance, alive,
-         miss_dir, miss_thru, missed, first_n, first_t) = carry
+        (origin, direction, throughput, radiance, alive, first_n, first_t) = carry
         cur = Rays(
             origin=origin,
             dir=direction,
@@ -170,10 +168,6 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         )
         live_hit = hit.hit & alive
         radiance = radiance + throughput * emitted * live_hit[..., None]
-        new_miss = alive & ~hit.hit
-        miss_dir = jnp.where(new_miss[..., None], direction, miss_dir)
-        miss_thru = jnp.where(new_miss[..., None], throughput, miss_thru)
-        missed = missed | new_miss
         throughput = jnp.where(
             live_hit[..., None], throughput * attenuation, throughput
         )
@@ -187,8 +181,7 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             hit.hit[..., None], mathx.normalize(bounce_dir), direction
         )
         return (
-            origin, direction, throughput, radiance, new_alive,
-            miss_dir, miss_thru, missed, first_n, first_t,
+            origin, direction, throughput, radiance, new_alive, first_n, first_t
         ), None
 
     ckpt = functools.partial(
@@ -205,11 +198,8 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         zero1 = rays.tmin * 0.0
         one1 = zero1 + 1.0
         z3 = (zero1, zero1, zero1)
-        init = (
-            o0, d0, (one1, one1, one1), z3, rays.tmax > 0.0,
-            d0, z3, rays.tmax < 0.0, z3, zero1,
-        )
-        (_, _, _, rad, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
+        init = (o0, d0, (one1, one1, one1), z3, rays.tmax > 0.0, z3, zero1)
+        (_, miss_dir, miss_thru, rad, alive, first_n, first_t), _ = (
             jax.lax.scan(ckpt(body), init, jnp.arange(max_depth))
         )
         radiance = planar.stack_v3(rad)
@@ -225,15 +215,13 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             zero3 + 1.0,  # throughput
             zero3,  # radiance
             rays.tmax > 0.0,  # alive (all True)
-            rays.dir,  # miss_dir placeholder (unit; masked by `missed`)
-            zero3,  # miss throughput
-            rays.tmax < 0.0,  # missed (all False)
             zero3,  # first normal
             zero1,  # first t
         )
-        (_, _, _, radiance, _, miss_dir, miss_thru, missed, first_n, first_t), _ = (
+        (_, miss_dir, miss_thru, radiance, alive, first_n, first_t), _ = (
             jax.lax.scan(ckpt(body_rowmajor), init, jnp.arange(max_depth))
         )
+    missed = ~alive
     sky = texture.sample_sky_packed(sky_packed, miss_dir)
     radiance = radiance + miss_thru * sky * missed[..., None]
     return radiance, first_n, first_t

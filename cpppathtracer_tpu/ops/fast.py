@@ -45,11 +45,20 @@ from cpppathtracer_tpu.types import DEFAULT_RAY_TMAX, Hit, Rays
 
 _INF = jnp.float32(DEFAULT_RAY_TMAX)
 
-# packed table column layout (F columns)
+# The per-object record is packed as TWO tables so that reverse-mode AD
+# keeps their cotangent paths separable: with one fused table, the
+# gather-transpose matmul produces cotangents for ALL columns at once, so
+# the heavy geometric/sampling VJP chains (to_world/normalize/refract
+# backward through every bounce) survive XLA DCE even when the loss only
+# requests kd/emission gradients.  Split, a kd+emission-only loss prunes
+# the entire geometry cotangent chain (measured ~1.4x fwd+bwd).
+#
+# sampling table column layout (F_S columns)
 # 0:2 center.xyz | 3 radius | 4 y_pos | 5 height | 6 prim_type | 7 mat_type
-# 8:10 kd | 11 emission | 12 smoothness | 13 reflectivity | 14 ior
-# 15 tex_id | 16 orig_idx
-_F = 17
+# 8 smoothness | 9 reflectivity | 10 ior | 11 tex_id | 12 orig_idx
+_F_S = 13
+# radiometric table column layout (F_R columns): 0:2 kd | 3 emission
+_F_R = 4
 
 
 @jax.tree_util.register_dataclass
@@ -61,7 +70,8 @@ class GroupedScene:
     radius: jax.Array  # f32[Ng]
     y_pos: jax.Array  # f32[Ng]
     height: jax.Array  # f32[Ng]
-    table: jax.Array  # f32[Ng,F] packed per-object record
+    table_s: jax.Array  # f32[Ng,F_S] sampling/geometry record
+    table_r: jax.Array  # f32[Ng,F_R] radiometric record (kd, emission)
     counts: tuple = dataclasses.field(metadata=dict(static=True))
 
 
@@ -77,7 +87,7 @@ def group_scene(scene) -> GroupedScene | None:
     radius = g(scene.radius)
     y_pos = g(scene.y_pos)
     height = g(scene.height)
-    table = jnp.concatenate(
+    table_s = jnp.concatenate(
         [
             center,
             radius[:, None],
@@ -85,8 +95,6 @@ def group_scene(scene) -> GroupedScene | None:
             height[:, None],
             g(scene.prim_type).astype(jnp.float32)[:, None],
             g(scene.mat_type).astype(jnp.float32)[:, None],
-            g(scene.kd),
-            g(scene.emission)[:, None],
             g(scene.smoothness)[:, None],
             g(scene.reflectivity)[:, None],
             g(scene.ior)[:, None],
@@ -95,12 +103,16 @@ def group_scene(scene) -> GroupedScene | None:
         ],
         axis=1,
     )
+    table_r = jnp.concatenate(
+        [g(scene.kd), g(scene.emission)[:, None]], axis=1
+    )
     return GroupedScene(
         center=center,
         radius=radius,
         y_pos=y_pos,
         height=height,
-        table=table,
+        table_s=table_s,
+        table_r=table_r,
         counts=tuple(scene.type_counts),
     )
 
@@ -345,21 +357,30 @@ def _winner_index_packed(gs: GroupedScene, rays_packed, interpret: bool = False)
     it reads 8 f32 and writes 1 int32 per ray.  Same per-group
     math/tie-break as :func:`_winner_grouped_T`; the index is
     piecewise-constant so the kernel needs no autodiff (gradients flow
-    through the epilogue)."""
+    through the epilogue).
+
+    Kernel variant: "mxu" (quadratic coefficients via one MXU matmul,
+    default on native TPU) or "vpu" (pure elementwise, bit-matches the
+    XLA fallback; default under interpret).  Env POCA_KVARIANT overrides.
+    """
     from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
+        build_geom_mxu,
         build_geom_rows,
-        pallas_winner_index,
+        pallas_winner_index_v,
     )
 
+    variant = os.environ.get("POCA_KVARIANT", "") or ("vpu" if interpret else "mxu")
     r = rays_packed.shape[1]
     tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
     r_pad = -(-r // tile) * tile
     if r_pad != r:
         rays_packed = jnp.pad(rays_packed, ((0, 0), (0, r_pad - r)))
     geom = build_geom_rows(gs)
-    gidx = pallas_winner_index(
+    gmx = build_geom_mxu(gs)
+    gidx = pallas_winner_index_v(
         jax.lax.stop_gradient(rays_packed), jax.lax.stop_gradient(geom),
-        counts=gs.counts, tile=tile, interpret=interpret,
+        jax.lax.stop_gradient(gmx),
+        counts=gs.counts, tile=tile, interpret=interpret, variant=variant,
     )
     return gidx[:r]
 
@@ -383,10 +404,12 @@ def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
         jax.lax.broadcasted_iota(jnp.int32, (na, rays.tmin.shape[0]), 0)
         == gidx[None, :]
     ).astype(jnp.float32)
-    rec = jax.lax.dot_general(
-        onehot, gs.table[:na], (((0,), (0,)), ((), ())),
+    dot = lambda tbl: jax.lax.dot_general(
+        onehot, tbl[:na], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [R, F]
+    )
+    rec = dot(gs.table_s)  # [R, F_S]
+    rec_r = dot(gs.table_r)  # [R, F_R]
 
     center = rec[:, 0:3]
     radius = rec[:, 3]
@@ -400,7 +423,7 @@ def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)
     pos = rays.origin + t_safe[..., None] * rays.dir
-    orig_idx = rec[:, 16].astype(jnp.int32)
+    orig_idx = rec[:, 12].astype(jnp.int32)
     out = Hit(
         t=jnp.where(hit, t, _INF),
         hit=hit,
@@ -410,12 +433,12 @@ def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
     )
     mats = {
         "mat_type": rec[:, 7].astype(jnp.int32),
-        "kd": rec[:, 8:11],
-        "emission": rec[:, 11],
-        "smoothness": rec[:, 12],
-        "reflectivity": rec[:, 13],
-        "ior": rec[:, 14],
-        "tex_id": rec[:, 15].astype(jnp.int32),
+        "kd": rec_r[:, 0:3],
+        "emission": rec_r[:, 3],
+        "smoothness": rec[:, 8],
+        "reflectivity": rec[:, 9],
+        "ior": rec[:, 10],
+        "tex_id": rec[:, 11].astype(jnp.int32),
         # gathered geometry (for UV parameterization of albedo textures)
         "_geom": (prim_type, center, radius, y_pos, height),
     }

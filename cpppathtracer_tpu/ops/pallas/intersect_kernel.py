@@ -168,6 +168,223 @@ def _winner_kernel(counts, rays_ref, geom_ref, out_ref):
     out_ref[:, :] = best_i
 
 
+def _winner_kernel_mxu(counts, rays_ref, geom_ref, gmx_ref, out_ref):
+    """MXU variant: the quadratic coefficients b, c of every sphere and
+    cylinder are affine in 11 per-ray features
+      [ox oy oz dx dy dz 1 o.o o.d |o|2_xz (o.d)_xz]
+    so ONE [M, 11] @ [11, TR] matmul (gmx_ref, built by
+    :func:`build_geom_mxu`) produces them all on the MXU; the VPU tail per
+    (object, ray) pair drops from ~33 to ~19 ops (spheres) / ~71 to ~50
+    (cylinders).  Per-ray reciprocals (1/a, 1/dy, 1/ax2) are hoisted to
+    [1, TR] rows.  Same windows/tie-breaks as :func:`_winner_kernel`; fp
+    rounding differs in final ulps (MXU f32 passes + hoisted reciprocals),
+    which can flip exact-tie/tangency winners — physically equivalent
+    (tests/test_pallas_kernel.py checks index equality up to t-ties).
+    """
+    n_s, n_p, n_c = counts
+    ns8, np8, nc8 = _ceil8(n_s), _ceil8(n_p), _ceil8(n_c)
+
+    ox = rays_ref[0:1, :]  # [1, TR]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    tr = rays_ref.shape[1]
+    best_t = jnp.full((1, tr), _INF, jnp.float32)
+    best_i = jnp.zeros((1, tr), jnp.int32)
+
+    ones = jnp.ones((1, tr), jnp.float32)
+    oo = ox * ox + oy * oy + oz * oz
+    od = ox * dx + oy * dy + oz * dz
+    a = dx * dx + dy * dy + dz * dz
+    oo2 = ox * ox + oz * oz
+    od2 = ox * dx + oz * dz
+    rm = jnp.concatenate(
+        [ox, oy, oz, dx, dy, dz, ones, oo, od, oo2, od2], axis=0
+    )  # [11, TR]
+    bc = jax.lax.dot_general(
+        gmx_ref[...], rm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, TR]: [b_s | c_s | b2_c | c2_c] blocks, 8-row aligned
+
+    def combine(best_t, best_i, t_grp, n_real, base):
+        row = jax.lax.broadcasted_iota(jnp.int32, t_grp.shape, 0)
+        t_grp = jnp.where(row < n_real, t_grp, _INF)
+        t_g = jnp.min(t_grp, axis=0, keepdims=True)
+        i_g = jnp.argmin(t_grp, axis=0).astype(jnp.int32)[None, :] + base
+        better = t_g < best_t
+        return jnp.where(better, t_g, best_t), jnp.where(better, i_g, best_i)
+
+    if n_s:
+        b = bc[0:ns8, :]
+        cq = bc[ns8 : 2 * ns8, :]
+        disc = b * b - a * cq
+        has = disc > 0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        inv_a = 1.0 / jnp.where(a == 0.0, 1.0, a)  # [1, TR]
+        t_near = (-b - sq) * inv_a
+        t_far = (-b + sq) * inv_a
+        nv = has & (t_near < tmax) & (t_near > tmin)
+        fv = has & (t_far < tmax) & (t_far > tmin)
+        t_sph = jnp.where(nv, t_near, jnp.where(fv, t_far, _INF))
+        best_t, best_i = combine(best_t, best_i, t_sph, n_s, 0)
+
+    if n_p:
+        g = geom_ref[ns8 : ns8 + np8, :]
+        y0 = g[:, 4:5]  # [Np8, 1]
+        crossing = ((oy < y0) & (dy > 0.0)) | ((oy > y0) & (dy < 0.0))
+        t = (y0 - oy) / jnp.where(dy == 0.0, 1.0, dy)
+        v = crossing & (t < tmax) & (t > tmin)
+        best_t, best_i = combine(best_t, best_i, jnp.where(v, t, _INF), n_p, n_s)
+
+    if n_c:
+        g = geom_ref[ns8 + np8 : ns8 + np8 + nc8, :]
+        cx, cy, cz = g[:, 0:1], g[:, 1:2], g[:, 2:3]
+        radius = g[:, 3:4]
+        height = g[:, 5:6]
+        y_top = cy + height * 0.5
+        y_bot = cy - height * 0.5
+        inv_dy = 1.0 / jnp.where(dy == 0.0, 1.0, dy)  # [1, TR]
+        dy_ok = dy != 0.0
+
+        def cap(y_plane):
+            # crossing ≡ (t > 0) & (dy != 0); with tmin >= 0 the window
+            # check subsumes t > 0, so validity is (t in window) & dy_ok.
+            t = (y_plane - oy) * inv_dy
+            hx = ox + t * dx
+            hz = oz + t * dz
+            r2 = (hx - cx) ** 2 + (hz - cz) ** 2
+            v = (
+                dy_ok & (t < tmax) & (t > tmin)
+                & (radius > 0.0) & (r2 < radius * radius)
+            )
+            return jnp.where(v, t, _INF)
+
+        t_cap = jnp.minimum(cap(y_top), cap(y_bot))
+
+        m0 = 2 * ns8
+        b2 = bc[m0 : m0 + nc8, :]
+        cq2 = bc[m0 + nc8 : m0 + 2 * nc8, :]
+        ax = dx * dx + dz * dz
+        disc2 = b2 * b2 - ax * cq2
+        has2 = disc2 > 0
+        sq2 = jnp.sqrt(jnp.where(has2, disc2, 1.0))
+        inv_ax = 1.0 / jnp.where(ax == 0.0, 1.0, ax)
+        t_ln = (-b2 - sq2) * inv_ax
+        t_lf = (-b2 + sq2) * inv_ax
+
+        def lat_ok(t):
+            hy = oy + t * dy
+            return has2 & (t < tmax) & (t > tmin) & (hy > y_bot) & (hy < y_top)
+
+        t_lat = jnp.minimum(
+            jnp.where(lat_ok(t_ln), t_ln, _INF),
+            jnp.where(lat_ok(t_lf), t_lf, _INF),
+        )
+        best_t, best_i = combine(
+            best_t, best_i, jnp.minimum(t_cap, t_lat), n_c, n_s + n_p
+        )
+
+    out_ref[:, :] = best_i
+
+
+def build_geom_mxu(gs):
+    """Coefficient matrix G[M, 11] for :func:`_winner_kernel_mxu`.
+
+    Feature order: [ox oy oz dx dy dz 1 oo od oo2 od2].  Row blocks
+    (each 8-aligned): sphere b rows [0, Ns8), sphere c rows [Ns8, 2Ns8),
+    cylinder b2 rows [2Ns8, 2Ns8+Nc8), cylinder c2 rows [+Nc8, +2Nc8).
+      b  = od  - c.d             c  = oo  - 2 o.c  + (|c|^2 - r^2)
+      b2 = od2 - (cx dx + cz dz) c2 = oo2 - 2(cx ox + cz oz) + (cx^2+cz^2-r^2)
+    """
+    n_s, n_p, n_c = gs.counts
+    ns8, nc8 = _ceil8(n_s), _ceil8(n_c)
+    m = max(8, 2 * ns8 + 2 * nc8)
+    # built with jnp (scene params may be traced for geometry gradients)
+    gm = jnp.zeros((m, 11), jnp.float32)
+    if n_s:
+        c_s = gs.center[:n_s]
+        r_s = gs.radius[:n_s]
+        cc = jnp.sum(c_s * c_s, -1) - r_s * r_s
+        b_rows = jnp.concatenate(
+            [
+                jnp.zeros((n_s, 3), jnp.float32), -c_s,
+                jnp.zeros((n_s, 2), jnp.float32),
+                jnp.ones((n_s, 1), jnp.float32),
+                jnp.zeros((n_s, 2), jnp.float32),
+            ], axis=1,
+        )
+        c_rows = jnp.concatenate(
+            [
+                -2.0 * c_s, jnp.zeros((n_s, 3), jnp.float32),
+                cc[:, None],
+                jnp.ones((n_s, 1), jnp.float32),
+                jnp.zeros((n_s, 3), jnp.float32),
+            ], axis=1,
+        )
+        gm = gm.at[0:n_s].set(b_rows)
+        gm = gm.at[ns8 : ns8 + n_s].set(c_rows)
+    if n_c:
+        sl = slice(n_s + n_p, n_s + n_p + n_c)
+        c_c = gs.center[sl]
+        r_c = gs.radius[sl]
+        zc = jnp.zeros((n_c, 1), jnp.float32)
+        onec = jnp.ones((n_c, 1), jnp.float32)
+        cc2 = c_c[:, 0] ** 2 + c_c[:, 2] ** 2 - r_c * r_c
+        b2_rows = jnp.concatenate(
+            [
+                zc, zc, zc,
+                -c_c[:, 0:1], zc, -c_c[:, 2:3],
+                zc, zc, zc, zc, onec,
+            ], axis=1,
+        )
+        c2_rows = jnp.concatenate(
+            [
+                -2.0 * c_c[:, 0:1], zc, -2.0 * c_c[:, 2:3],
+                zc, zc, zc,
+                cc2[:, None], zc, zc, onec, zc,
+            ], axis=1,
+        )
+        m0 = 2 * ns8
+        gm = gm.at[m0 : m0 + n_c].set(b2_rows)
+        gm = gm.at[m0 + nc8 : m0 + nc8 + n_c].set(c2_rows)
+    return gm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("counts", "tile", "interpret", "variant")
+)
+def pallas_winner_index_v(
+    rays_packed, geom, gmx, *, counts, tile=1024, interpret=False, variant="vpu"
+):
+    """Winner index with selectable kernel variant ("vpu" or "mxu")."""
+    r = rays_packed.shape[1]
+    assert r % tile == 0, (r, tile)
+    n_rep = geom.shape[0]
+    if variant == "mxu":
+        m = gmx.shape[0]
+        out = pl.pallas_call(
+            functools.partial(_winner_kernel_mxu, counts),
+            grid=(r // tile,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_rep, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, 11), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
+            interpret=interpret,
+        )(rays_packed, geom, gmx)
+        return out[0]
+    return pallas_winner_index(
+        rays_packed, geom, counts=counts, tile=tile, interpret=interpret
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("counts", "tile", "interpret"))
 def pallas_winner_index(rays_packed, geom, *, counts, tile=1024, interpret=False):
     """Winner index (dense grouped coordinates) per ray.

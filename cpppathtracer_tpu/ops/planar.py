@@ -317,10 +317,14 @@ def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (na, r_n), 0) == gidx[None, :]
     ).astype(jnp.float32)
-    rec = jax.lax.dot_general(
-        gs.table[:na].T, onehot, (((1,), (0,)), ((), ())),
+    dot = lambda tbl: jax.lax.dot_general(
+        tbl[:na].T, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [F, R]
+    )
+    # two tables so kd/emission cotangents stay separable from the
+    # geometric/sampling chains (see ops/fast.py table layout comment)
+    rec = dot(gs.table_s)  # [F_S, R]
+    rec_r = dot(gs.table_r)  # [F_R, R]
 
     center = (rec[0], rec[1], rec[2])
     radius = rec[3]
@@ -336,12 +340,12 @@ def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
     zero = jnp.zeros_like(t)
     mats = {
         "mat_type": rec[7].astype(jnp.int32),
-        "kd_p": (rec[8], rec[9], rec[10]),
-        "emission": rec[11],
-        "smoothness": rec[12],
-        "reflectivity": rec[13],
-        "ior": rec[14],
-        "tex_id": rec[15].astype(jnp.int32),
+        "kd_p": (rec_r[0], rec_r[1], rec_r[2]),
+        "emission": rec_r[3],
+        "smoothness": rec[8],
+        "reflectivity": rec[9],
+        "ior": rec[10],
+        "tex_id": rec[11].astype(jnp.int32),
         "_geom_p": (prim_type, center, radius, y_pos, height),
     }
     hitrec = {
@@ -349,6 +353,6 @@ def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
         "hit": hit,
         "pos": pos,
         "normal": where_p(hit, normal, (zero, zero, zero)),
-        "obj_idx": jnp.where(hit, rec[16].astype(jnp.int32), -1),
+        "obj_idx": jnp.where(hit, rec[12].astype(jnp.int32), -1),
     }
     return hitrec, mats

@@ -96,3 +96,26 @@ def test_integrator_with_pallas_matches_default(monkeypatch):
         np.asarray(rad_pallas), np.asarray(rad_default), atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_d))
+
+
+def test_mxu_variant_matches_vpu_up_to_ties(monkeypatch):
+    # The MXU kernel computes the quadratic b/c coefficients via a
+    # dot_general and hoists per-ray reciprocals, so its fp rounding
+    # differs in final ulps from the VPU form; winners may flip only
+    # where the two candidate t's are (near-)ties or at tangency.
+    scene = demo_scene(seed=0).build()
+    gs = fast.group_scene(scene)
+    rays = _rays(512)
+    monkeypatch.setenv("POCA_KVARIANT", "vpu")
+    g_vpu = np.asarray(fast.winner_index_pallas(gs, rays, interpret=True))
+    monkeypatch.setenv("POCA_KVARIANT", "mxu")
+    g_mxu = np.asarray(fast.winner_index_pallas(gs, rays, interpret=True))
+    mismatch = g_vpu != g_mxu
+    # the vast majority must agree outright
+    assert mismatch.mean() < 0.02, mismatch.mean()
+    if mismatch.any():
+        h_v, _ = fast._gather_epilogue(gs, rays, jnp.asarray(g_vpu))
+        h_m, _ = fast._gather_epilogue(gs, rays, jnp.asarray(g_mxu))
+        tv = np.asarray(h_v.t)[mismatch]
+        tm = np.asarray(h_m.t)[mismatch]
+        np.testing.assert_allclose(tm, tv, rtol=1e-3, atol=1e-3)
