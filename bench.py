@@ -43,7 +43,9 @@ def build_bench(width, height, spp, max_depth):
     def loss_fn(params, scene, sky_tex):
         scene = scene.with_material_params({**scene.material_params(), **params})
         rad, _, _ = render_radiance(
-            scene, camera, sky_tex, spp=spp, max_depth=max_depth, seed=0
+            scene, camera, sky_tex, spp=spp, max_depth=max_depth, seed=0,
+            # gradient path: unroll the bounce loop on TPU (integrator.py)
+            unroll=jax.default_backend() == "tpu",
         )
         return jnp.sum(rad * rad)
 

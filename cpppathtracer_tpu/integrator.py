@@ -46,7 +46,7 @@ from cpppathtracer_tpu.utils import rng as prng
 
 
 def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int,
-                  tex_stack=None):
+                  tex_stack=None, unroll: bool | None = None):
     """Integrate `max_depth` bounces for a wavefront of primary rays.
 
     Returns (radiance f32[R,3], first_normal f32[R,3], first_t f32[R]).
@@ -189,6 +189,34 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
     )
 
+    # For GRADIENT paths on TPU the bounce loop should be UNROLLED
+    # (max_depth is static and small): under lax.scan, reverse-mode AD
+    # stacks every live carry per step with [depth, R]
+    # dynamic-update-slices whose single-row writes into (8,128)-tiled
+    # stacks are whole-buffer read-modify-writes — profiled at ~140 ms of
+    # the 1024^2x16spp backward (v5e); unrolled, residuals are plain SSA
+    # values and the bounce==0 selects fold statically (856 -> 704 ms
+    # fwd+bwd).  Forward-only programs REGRESS unrolled (372 -> 813 ms:
+    # XLA fuses across bounces into spilling mega-live-ranges), and CPU
+    # tests pay ~8x trace/compile time — so unrolling is opt-in: the
+    # differentiable drivers (bench, inverse training) pass unroll=True;
+    # plain renders keep the scan.  Numerics are identical either way.
+    # Env POCA_UNROLL=0/1 overrides.
+    force = os.environ.get("POCA_UNROLL", "")
+    if force in ("0", "1"):
+        unroll = force == "1"
+    elif unroll is None:
+        unroll = False
+
+    def run_bounces(body_fn, init):
+        if unroll:
+            carry = init
+            for b in range(max_depth):
+                carry, _ = ckpt(body_fn)(carry, jnp.int32(b))
+            return carry
+        carry, _ = jax.lax.scan(ckpt(body_fn), init, jnp.arange(max_depth))
+        return carry
+
     # Carry inits derive from the ray arrays (not fresh constants) so that
     # under shard_map their varying-manual-axes type matches the loop
     # outputs (JAX >= 0.9 check_vma).
@@ -199,8 +227,8 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
         one1 = zero1 + 1.0
         z3 = (zero1, zero1, zero1)
         init = (o0, d0, (one1, one1, one1), z3, rays.tmax > 0.0, z3, zero1)
-        (_, miss_dir, miss_thru, rad, alive, first_n, first_t), _ = (
-            jax.lax.scan(ckpt(body), init, jnp.arange(max_depth))
+        (_, miss_dir, miss_thru, rad, alive, first_n, first_t) = run_bounces(
+            body, init
         )
         radiance = planar.stack_v3(rad)
         miss_dir = planar.stack_v3(miss_dir)
@@ -218,8 +246,8 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             zero3,  # first normal
             zero1,  # first t
         )
-        (_, miss_dir, miss_thru, radiance, alive, first_n, first_t), _ = (
-            jax.lax.scan(ckpt(body_rowmajor), init, jnp.arange(max_depth))
+        (_, miss_dir, miss_thru, radiance, alive, first_n, first_t) = run_bounces(
+            body_rowmajor, init
         )
     missed = ~alive
     sky = texture.sample_sky_packed(sky_packed, miss_dir)
@@ -228,12 +256,12 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
 
 
 def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int,
-                  tex_stack=None):
+                  tex_stack=None, unroll: bool | None = None):
     """One sample-per-pixel pass over flat pixel indices (the analog of one
     `SamplePixel` launch).  Returns (radiance, first_normal, first_t)."""
     rays = camera.ray_gen(pixel_idx, sample_idx, seed)
     return trace_bounces(scene, sky_tex, rays, pixel_idx, sample_idx, seed, max_depth,
-                         tex_stack=tex_stack)
+                         tex_stack=tex_stack, unroll=unroll)
 
 
 def render_radiance(
@@ -247,6 +275,8 @@ def render_radiance(
     pixel_idx=None,
     sample_offset=0,
     tex_stack=None,
+    unroll: bool | None = None,
+    spp_chunk: int = 1,
 ):
     """Mean radiance over `spp` samples (scan over the sample axis — the
     rendering analog of gradient accumulation; memory stays O(pixels)).
@@ -258,6 +288,18 @@ def render_radiance(
     if pixel_idx is None:
         pixel_idx = jnp.arange(camera.width * camera.height, dtype=jnp.int32)
 
+    # spp chunking: fold `spp_chunk` samples into one wavefront per scan
+    # step ([C*R] ray batch, per-ray sample indices) to amortize per-step
+    # fixed costs.  RNG keys are (pixel, sample)-based so the draws — and
+    # hence every sample's radiance — are identical to the unchunked
+    # render; only the accumulation order changes (fp-level).
+    env_chunk = os.environ.get("POCA_SPP_CHUNK", "")
+    if env_chunk.isdigit() and int(env_chunk) > 0:
+        spp_chunk = int(env_chunk)
+    spp_chunk = max(1, min(spp_chunk, spp))
+    if spp % spp_chunk != 0:
+        spp_chunk = 1
+
     # Rematerialize each sample in the backward sweep: without this the
     # spp-scan saves every sample's inner bounce-scan carries (~0.8 GB per
     # spp step at 1024^2) and 64spp fwd+bwd overflows HBM; with it, per-step
@@ -268,10 +310,21 @@ def render_radiance(
     # the dominant forward cost — runs exactly once per sample, in the
     # true forward pass.  Residual cost: max_depth x int32[R] per spp step
     # (32 MB/step at 1024^2 x 8 bounces).
+    r_n = pixel_idx.shape[0]
+    if spp_chunk > 1:
+        pix_c = jnp.tile(pixel_idx, spp_chunk)
+        samp_rep = jnp.repeat(
+            jnp.arange(spp_chunk, dtype=jnp.int32), r_n
+        )
+    else:
+        pix_c = pixel_idx
+        samp_rep = None
+
     def _one_sample(scene, camera, sky_tex, tex_stack, s):
+        s_key = s if samp_rep is None else s + samp_rep
         return render_sample(
-            scene, camera, sky_tex, pixel_idx, s, seed, max_depth,
-            tex_stack=tex_stack,
+            scene, camera, sky_tex, pix_c, s_key, seed, max_depth,
+            tex_stack=tex_stack, unroll=unroll,
         )
 
     _one_sample_ckpt = jax.checkpoint(
@@ -281,8 +334,12 @@ def render_radiance(
 
     def body(acc, s):
         rad, n0, t0 = _one_sample_ckpt(
-            scene, camera, sky_tex, tex_stack, sample_offset + s
+            scene, camera, sky_tex, tex_stack, sample_offset + s * spp_chunk
         )
+        if spp_chunk > 1:
+            rad = jnp.sum(rad.reshape(spp_chunk, r_n, 3), axis=0)
+            n0 = n0[:r_n]
+            t0 = t0[:r_n]
         acc_rad, acc_n, acc_t = acc
         keep_first = s == 0
         return (
@@ -295,7 +352,9 @@ def render_radiance(
     zero1 = pixel_idx.astype(jnp.float32) * 0.0
     zero3 = zero1[..., None] + jnp.zeros((3,), jnp.float32)
     init = (zero3, zero3, zero1)
-    (rad_sum, n0, t0), _ = jax.lax.scan(body, init, jnp.arange(spp))
+    (rad_sum, n0, t0), _ = jax.lax.scan(
+        body, init, jnp.arange(spp // spp_chunk)
+    )
     return rad_sum / jnp.float32(spp), n0, t0
 
 

@@ -44,6 +44,8 @@ def _split_params(scene, cfg: InverseConfig):
 
 
 def render_for_loss(scene, camera, sky_tex, cfg: InverseConfig, sample_offset=0):
+    import jax as _jax
+
     rad, _, _ = render_radiance(
         scene,
         camera,
@@ -52,6 +54,8 @@ def render_for_loss(scene, camera, sky_tex, cfg: InverseConfig, sample_offset=0)
         max_depth=cfg.max_depth,
         seed=cfg.seed,
         sample_offset=sample_offset,
+        # gradient path: unroll the bounce loop on TPU (see integrator.py)
+        unroll=_jax.default_backend() == "tpu",
     )
     return rad
 

@@ -22,14 +22,16 @@ from cpppathtracer_tpu.integrator import render_radiance
 from cpppathtracer_tpu.parallel.mesh import image_sharding, pad_to_tiles
 
 
-def _tile_render(scene, camera, sky_tex, pixel_idx_tile, spp, max_depth, seed):
+def _tile_render(scene, camera, sky_tex, pixel_idx_tile, spp, max_depth, seed,
+                 unroll=None):
     """Render one device's pixel tile. pixel_idx_tile: i32[th, tw] of GLOBAL
     flat pixel indices (or -1 padding)."""
     th, tw = pixel_idx_tile.shape
     flat = pixel_idx_tile.reshape(-1)
     safe = jnp.maximum(flat, 0)
     rad, n0, t0 = render_radiance(
-        scene, camera, sky_tex, spp=spp, max_depth=max_depth, seed=seed, pixel_idx=safe
+        scene, camera, sky_tex, spp=spp, max_depth=max_depth, seed=seed,
+        pixel_idx=safe, unroll=unroll,
     )
     return (
         rad.reshape(th, tw, 3),
@@ -80,7 +82,11 @@ def make_sharded_loss(mesh, spp: int, max_depth: int, seed: int = 0):
 
     def tile_loss(params, scene, camera, sky_tex, pix_tile, target_tile):
         scene = scene.with_material_params(params)
-        rad, _, _ = _tile_render(scene, camera, sky_tex, pix_tile, spp, max_depth, seed)
+        # gradient path: unroll the bounce loop on TPU (see integrator.py)
+        rad, _, _ = _tile_render(
+            scene, camera, sky_tex, pix_tile, spp, max_depth, seed,
+            unroll=jax.default_backend() == "tpu",
+        )
         valid = (pix_tile >= 0).astype(jnp.float32)[..., None]
         err = (rad - target_tile) * valid
         local = jnp.sum(err * err)
