@@ -38,6 +38,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from cpppathtracer_tpu.models.camera import Camera
 from cpppathtracer_tpu.ops import bsdf, fast, intersect, mathx, planar, texture
@@ -46,7 +47,8 @@ from cpppathtracer_tpu.utils import rng as prng
 
 
 def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_depth: int,
-                  tex_stack=None, unroll: bool | None = None):
+                  tex_stack=None, unroll: bool | None = None, sky_packed=None,
+                  gs=None):
     """Integrate `max_depth` bounces for a wavefront of primary rays.
 
     Returns (radiance f32[R,3], first_normal f32[R,3], first_t f32[R]).
@@ -59,9 +61,14 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     `max_depth`x fewer texture gathers.
     """
     batch = pixel_idx.shape
-    gs = fast.group_scene(scene)
-    # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py)
-    sky_packed = texture.pack_bilinear(sky_tex)
+    if gs is None:
+        gs = fast.group_scene(scene)
+    # quad-packed sky: ONE gather per sample instead of 4 (ops/texture.py).
+    # Callers rendering many samples pass a prepacked texture — packing
+    # inside the per-sample remat costs a [H,W,16] concat per sample AND
+    # per backward replay (profiled at ~3 ms/sample at 256^2, v5e).
+    if sky_packed is None:
+        sky_packed = texture.pack_bilinear(sky_tex)
     use_planar = (
         gs is not None and len(batch) == 1
         and os.environ.get("POCA_PLANAR", "1") != "0"
@@ -250,18 +257,26 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
             body_rowmajor, init
         )
     missed = ~alive
-    sky = texture.sample_sky_packed(sky_packed, miss_dir)
+    # Named so the per-sample remat policy SAVES the sampled sky radiance:
+    # the [R]-row gather + quad select is pure overhead to replay (the
+    # texture cotangent only needs the detached indices/weights, and those
+    # are recomputed cheaply from miss_dir).
+    sky = checkpoint_name(
+        texture.sample_sky_packed(sky_packed, miss_dir), "sky_rgb"
+    )
     radiance = radiance + miss_thru * sky * missed[..., None]
     return radiance, first_n, first_t
 
 
 def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int,
-                  tex_stack=None, unroll: bool | None = None):
+                  tex_stack=None, unroll: bool | None = None, sky_packed=None,
+                  gs=None):
     """One sample-per-pixel pass over flat pixel indices (the analog of one
     `SamplePixel` launch).  Returns (radiance, first_normal, first_t)."""
     rays = camera.ray_gen(pixel_idx, sample_idx, seed)
     return trace_bounces(scene, sky_tex, rays, pixel_idx, sample_idx, seed, max_depth,
-                         tex_stack=tex_stack, unroll=unroll)
+                         tex_stack=tex_stack, unroll=unroll,
+                         sky_packed=sky_packed, gs=gs)
 
 
 def render_radiance(
@@ -320,21 +335,29 @@ def render_radiance(
         pix_c = pixel_idx
         samp_rep = None
 
-    def _one_sample(scene, camera, sky_tex, tex_stack, s):
+    # Hoisted per-render precomputations (shared across samples AND their
+    # backward replays): the grouped-scene repack and the quad-packed sky.
+    gs = fast.group_scene(scene)
+    sky_packed = texture.pack_bilinear(sky_tex)
+
+    def _one_sample(scene, camera, sky_tex, sky_packed, gs, tex_stack, s):
         s_key = s if samp_rep is None else s + samp_rep
         return render_sample(
             scene, camera, sky_tex, pix_c, s_key, seed, max_depth,
-            tex_stack=tex_stack, unroll=unroll,
+            tex_stack=tex_stack, unroll=unroll, sky_packed=sky_packed, gs=gs,
         )
 
     _one_sample_ckpt = jax.checkpoint(
         _one_sample,
-        policy=jax.checkpoint_policies.save_only_these_names("hit_idx"),
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "hit_idx", "sky_rgb"
+        ),
     )
 
     def body(acc, s):
         rad, n0, t0 = _one_sample_ckpt(
-            scene, camera, sky_tex, tex_stack, sample_offset + s * spp_chunk
+            scene, camera, sky_tex, sky_packed, gs, tex_stack,
+            sample_offset + s * spp_chunk,
         )
         if spp_chunk > 1:
             rad = jnp.sum(rad.reshape(spp_chunk, r_n, 3), axis=0)

@@ -30,7 +30,10 @@ sky = jnp.asarray(procedural_sky(256, 256))
 
 def loss_fn(params, scene, sky_tex):
     scene = scene.with_material_params({**scene.material_params(), **params})
-    rad, _, _ = render_radiance(scene, camera, sky_tex, spp=spp, max_depth=8, seed=0)
+    rad, _, _ = render_radiance(
+        scene, camera, sky_tex, spp=spp, max_depth=8, seed=0,
+        unroll=jax.default_backend() == "tpu",
+    )
     return jnp.sum(rad * rad)
 
 

@@ -137,3 +137,26 @@ def test_demo_scene_vs_oracle():
     scene = demo_scene(seed=0).build()
     cam = Camera.make(16, 12, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
     _compare_images(scene, cam, spp=1, max_depth=3, seed=9, bad_frac=0.12)
+
+
+def test_spp_chunking_matches_unchunked():
+    # chunked wavefronts draw identical per-(pixel, sample) RNG streams,
+    # so only the accumulation order may differ (fp-level)
+    import jax.numpy as jnp
+    from cpppathtracer_tpu.integrator import render_radiance
+    from cpppathtracer_tpu.models.camera import Camera
+    from cpppathtracer_tpu.models.scene import demo_scene
+    from cpppathtracer_tpu.ops.texture import procedural_sky
+
+    scene = demo_scene(seed=0).build()
+    cam = Camera.make(16, 16, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+    r1, n1, t1 = render_radiance(scene, cam, sky, spp=4, max_depth=3, seed=7)
+    r2, n2, t2 = render_radiance(
+        scene, cam, sky, spp=4, max_depth=3, seed=7, spp_chunk=2
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n2), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
