@@ -498,10 +498,43 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
     from cpppathtracer_tpu.ops import planar
 
     if _use_pallas_default(use_pallas):
-        rays_packed = jnp.stack([o[0], o[1], o[2], d[0], d[1], d[2], tmin, tmax])
-        gidx = _winner_index_packed(
-            gs, rays_packed, interpret=jax.default_backend() == "cpu"
+        interpret = jax.default_backend() == "cpu"
+        variant = os.environ.get("POCA_KVARIANT", "") or (
+            "vpu" if interpret else "mxu"
         )
+        if variant == "mxu":
+            # planar-I/O kernel: no [8, R] stack on the XLA side (a
+            # stacked input's [1, R] operand layouts propagate backward
+            # through the whole bounce body — see intersect_kernel.py)
+            from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
+                build_geom_mxu,
+                build_geom_rows,
+                pallas_winner_index_planar,
+            )
+
+            r = tmin.shape[0]
+            tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
+            r_pad = -(-r // tile) * tile
+            sg = jax.lax.stop_gradient
+            if r_pad != r:
+                pad = lambda a: jnp.pad(a, (0, r_pad - r))
+                o_in = tuple(pad(sg(c)) for c in o)
+                d_in = tuple(pad(sg(c)) for c in d)
+                tmin_in, tmax_in = pad(sg(tmin)), pad(sg(tmax))
+            else:
+                o_in = tuple(sg(c) for c in o)
+                d_in = tuple(sg(c) for c in d)
+                tmin_in, tmax_in = sg(tmin), sg(tmax)
+            gidx = pallas_winner_index_planar(
+                o_in, d_in, tmin_in, tmax_in,
+                sg(build_geom_rows(gs)), sg(build_geom_mxu(gs)),
+                counts=gs.counts, tile=tile, interpret=interpret,
+            )[:r]
+        else:
+            rays_packed = jnp.stack(
+                [o[0], o[1], o[2], d[0], d[1], d[2], tmin, tmax]
+            )
+            gidx = _winner_index_packed(gs, rays_packed, interpret=interpret)
     else:
         rays = Rays(
             origin=jnp.stack(o, -1), dir=jnp.stack(d, -1), tmin=tmin, tmax=tmax

@@ -168,6 +168,40 @@ def _winner_kernel(counts, rays_ref, geom_ref, out_ref):
     out_ref[:, :] = best_i
 
 
+def _winner_kernel_mxu_planar(
+    counts, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tmin_ref, tmax_ref, geom_ref, gmx_ref, out_ref,
+):
+    """Planar-I/O wrapper of :func:`_winner_kernel_mxu`: the eight ray
+    planes arrive as separate 1D f32[TR] refs with perfect {T(1024)}
+    tiling and the winner index leaves as 1D i32[TR].
+
+    Why: feeding the kernel a stacked f32[8, R] forces an XLA-side
+    concatenate whose [1, R]{T(1,128)} operand layout propagates BACKWARD
+    through the whole elementwise bounce body (shade, epilogue), running
+    it at 1/8 VPU width (profiled ~47 ms/sample-loop at 1024^2).  Packing
+    in-kernel keeps every XLA-side plane {T(1024)}; the 1D->2D relayouts
+    here cost a few shuffles per vreg."""
+    rows = [
+        ox_ref[...][None, :], oy_ref[...][None, :], oz_ref[...][None, :],
+        dx_ref[...][None, :], dy_ref[...][None, :], dz_ref[...][None, :],
+        tmin_ref[...][None, :], tmax_ref[...][None, :],
+    ]
+
+    class _Rays:
+        shape = (8, ox_ref.shape[0])
+
+        def __getitem__(self, idx):
+            # rays_ref[k:k+1, :] -> row k
+            return rows[idx[0].start]
+
+    class _Out:
+        def __setitem__(self, idx, val):
+            out_ref[...] = val[0]
+
+    _winner_kernel_mxu(counts, _Rays(), geom_ref, gmx_ref, _Out())
+
+
 def _winner_kernel_mxu(counts, rays_ref, geom_ref, gmx_ref, out_ref):
     """MXU variant: the quadratic coefficients b, c of every sphere and
     cylinder are affine in 11 per-ray features
@@ -353,6 +387,33 @@ def build_geom_mxu(gs):
         gm = gm.at[m0 : m0 + n_c].set(b2_rows)
         gm = gm.at[m0 + nc8 : m0 + nc8 + n_c].set(c2_rows)
     return gm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("counts", "tile", "interpret")
+)
+def pallas_winner_index_planar(
+    o, d, tmin, tmax, geom, gmx, *, counts, tile=1024, interpret=False
+):
+    """Winner index from planar ray components (o, d are tuples of f32[R]);
+    returns i32[R].  R must be a multiple of `tile` (caller pads).  MXU
+    kernel variant with planar in/out — see _winner_kernel_mxu_planar."""
+    r = tmin.shape[0]
+    assert r % tile == 0, (r, tile)
+    n_rep = geom.shape[0]
+    m = gmx.shape[0]
+    spec1d = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_winner_kernel_mxu_planar, counts),
+        grid=(r // tile,),
+        in_specs=[spec1d] * 8 + [
+            pl.BlockSpec((n_rep, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 11), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec1d,
+        out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
+        interpret=interpret,
+    )(o[0], o[1], o[2], d[0], d[1], d[2], tmin, tmax, geom, gmx)
 
 
 @functools.partial(
