@@ -186,7 +186,9 @@ class PackedTexture:
 # [65536,16] 3.4 ms vs [8192,128] 1.5 ms for 262k gathers on v5e), so the
 # quad table folds FOLD consecutive quads into one wide row; the sampler
 # gathers the row and selects the quad with an exact 0/1 one-hot sum.
-_FOLD = 8
+# FOLD=4 balances row count against the gather's output traffic
+# ([R, FOLD*16] materializes + one layout copy before the quad reduce).
+_FOLD = 4
 
 
 def pack_bilinear(tex) -> PackedTexture:
