@@ -351,6 +351,17 @@ def _winner_grouped_T(gs: GroupedScene, rays: Rays):
     return best_t, best_i
 
 
+def _pick_tile(r: int) -> int:
+    """Largest supported ray-tile dividing R.  Bigger tiles amortize the
+    kernel's per-grid-step fixed costs (MXU weight reload, loop
+    bookkeeping): measured on v5e at 4M rays, tile 8192 is ~13% faster
+    than 1024 (scripts/perf_kernel.py); 16384 regresses slightly."""
+    for tile in (8192, 4096, 2048, 1024, 512, 256):
+        if r % tile == 0:
+            return tile
+    return 8192 if r > 8192 else 256  # callers pad R up to the tile
+
+
 def _winner_index_packed(gs: GroupedScene, rays_packed, interpret: bool = False):
     """Winner index from a pre-packed [8, R] ray matrix (fused Pallas
     kernel).  The kernel keeps every [N, R]-shaped intermediate in VMEM —
@@ -371,7 +382,7 @@ def _winner_index_packed(gs: GroupedScene, rays_packed, interpret: bool = False)
 
     variant = os.environ.get("POCA_KVARIANT", "") or ("vpu" if interpret else "mxu")
     r = rays_packed.shape[1]
-    tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
+    tile = _pick_tile(r)
     r_pad = -(-r // tile) * tile
     if r_pad != r:
         rays_packed = jnp.pad(rays_packed, ((0, 0), (0, r_pad - r)))
@@ -513,7 +524,7 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
             )
 
             r = tmin.shape[0]
-            tile = 1024 if r % 1024 == 0 else (512 if r % 512 == 0 else 256)
+            tile = _pick_tile(r)
             r_pad = -(-r // tile) * tile
             sg = jax.lax.stop_gradient
             if r_pad != r:
