@@ -340,6 +340,53 @@ def render_radiance(
     gs = fast.group_scene(scene)
     sky_packed = texture.pack_bilinear(sky_tex)
 
+    # Megakernel path: the WHOLE bounce loop fused into one Pallas kernel
+    # (ops/pallas/mega_kernel.py) with an explicit custom-vjp replay
+    # backward (ops/mega.py) — no jax.checkpoint needed, the custom_vjp
+    # already keeps only the hit_idx stack as residual.  Default on TPU;
+    # env POCA_MEGA=0/1 overrides (1 uses interpret mode off-TPU).
+    force_mega = os.environ.get("POCA_MEGA", "")
+    on_tpu = jax.default_backend() == "tpu"
+    use_mega = (
+        gs is not None
+        and tex_stack is None
+        and (force_mega == "1" if force_mega in ("0", "1") else on_tpu)
+    )
+    if use_mega:
+        from cpppathtracer_tpu.ops import mega
+
+        def body_mega(acc, s):
+            s_key = sample_offset + s * spp_chunk
+            if samp_rep is not None:
+                s_key = s_key + samp_rep
+            rad_p, miss_p, thru_p, missed, fn_p, ft = mega.mega_sample(
+                gs, camera, pix_c, s_key, seed, max_depth, not on_tpu
+            )
+            sky = texture.sample_sky_packed(sky_packed, planar.stack_v3(miss_p))
+            rad = planar.stack_v3(rad_p) + (
+                planar.stack_v3(thru_p) * sky * missed[..., None]
+            )
+            n0 = planar.stack_v3(fn_p)
+            if spp_chunk > 1:
+                rad = jnp.sum(rad.reshape(spp_chunk, r_n, 3), axis=0)
+                n0 = n0[:r_n]
+                ft = ft[:r_n]
+            acc_rad, acc_n, acc_t = acc
+            keep_first = s == 0
+            return (
+                acc_rad + rad,
+                jnp.where(keep_first, n0, acc_n),
+                jnp.where(keep_first, ft, acc_t),
+            ), None
+
+        zero1 = pixel_idx.astype(jnp.float32) * 0.0
+        zero3 = zero1[..., None] + jnp.zeros((3,), jnp.float32)
+        init = (zero3, zero3, zero1)
+        (rad_sum, n0, t0), _ = jax.lax.scan(
+            body_mega, init, jnp.arange(spp // spp_chunk)
+        )
+        return rad_sum / jnp.float32(spp), n0, t0
+
     def _one_sample(scene, camera, sky_tex, sky_packed, gs, tex_stack, s):
         s_key = s if samp_rep is None else s + samp_rep
         return render_sample(

@@ -101,11 +101,16 @@ def phong_lobe_local(u1, u2, alpha):
     Computed as z = exp(log(u1)/alpha) and r^2 = -expm1(2*log(u1)/alpha):
     identical distribution but avoids the reference's catastrophic
     cancellation in 1 - z^2 when alpha is huge (z -> 1), where fp32
-    `pow` rounding flips r by up to 50%.
+    `pow` rounding flips r by up to 50%.  -expm1(y) is spelled through
+    the exact identity -tanh(y/2)*(e^y + 1) — equally well-conditioned
+    at y -> 0, and lowerable in Pallas TPU kernels (expm1 is not); the
+    planar and NumPy-oracle twins use the same form.
     """
     log_u = jnp.log(jnp.maximum(u1, jnp.float32(1e-38)))
     inv_a = 1.0 / alpha
     z = jnp.exp(log_u * inv_a)
-    r = jnp.sqrt(jnp.maximum(-jnp.expm1(2.0 * log_u * inv_a), 0.0))
+    y = 2.0 * log_u * inv_a
+    neg_expm1 = -jnp.tanh(0.5 * y) * (jnp.exp(y) + 1.0)
+    r = jnp.sqrt(jnp.maximum(neg_expm1, 0.0))
     phi = (2.0 * jnp.pi) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)

@@ -1,0 +1,183 @@
+"""Differentiable wrapper around the Pallas bounce-loop megakernel.
+
+`mega_sample` runs one full sample (ray-gen -> all bounces) with the
+forward pass entirely inside the fused Pallas kernel
+(ops/pallas/mega_kernel.py) and the backward pass as a plain-XLA replay
+of the bounce chain from the kernel's saved per-bounce winner indices —
+the exact mechanism the non-mega path gets from `jax.checkpoint` with the
+`hit_idx` save-only policy (integrator.py), made explicit via
+`jax.custom_vjp` so the kernel itself is never re-entered or
+differentiated.
+
+Residuals per sample: the winner-index stack i32[depth, R] plus the tiny
+loop-invariant inputs (scene tables, camera, pixel indices, seed) — the
+same O(depth x R) footprint as the non-mega remat policy.  The replay
+regenerates primary rays (`camera.ray_gen`) and uniforms (stateless PCG4D
+— bitwise equal to the kernel's in-VMEM draws), reconstructs each
+bounce's record from the saved index (`planar.gather_epilogue_p`), and
+re-runs `planar.shade_p`; `jax.vjp` of that replay yields gradients for
+the scene tables AND the camera.  Replay values can differ from the
+kernel's forward by MXU-f32 rounding ulps only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpppathtracer_tpu.ops import planar
+from cpppathtracer_tpu.ops.pallas.mega_kernel import (
+    build_tables_T,
+    pallas_mega_trace,
+)
+from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX
+from cpppathtracer_tpu.utils import rng as prng
+
+_MEGA_TILE = 1024
+
+
+def _float0_zero(x):
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth):
+    """Plain-XLA reconstruction of the megakernel's outputs from the saved
+    winner indices.  Shares planar.gather_epilogue_p / planar.shade_p with
+    both the kernel (inlined) and the non-mega integrator body, so the
+    differentiated math is identical."""
+    rays = camera.ray_gen(pixel_idx, sample_idx, seed)
+    o = planar.unstack_v3(rays.origin)
+    d = planar.unstack_v3(rays.dir)
+    zero1 = rays.tmin * 0.0
+    one1 = zero1 + 1.0
+    thru = (one1, one1, one1)
+    rad = (zero1, zero1, zero1)
+    alive = rays.tmax > 0.0
+    first_n = (zero1, zero1, zero1)
+    first_t = zero1
+    tmax = zero1 + jnp.float32(DEFAULT_RAY_TMAX)
+    for b in range(depth):
+        tmin = zero1 + (0.0 if b == 0 else jnp.float32(BOUNCE_RAY_TMIN))
+        # hit_idx is sign-encoded: winner index where the kernel saw a
+        # hit, -1 on miss.  The replay recomputes the hit attributes from
+        # the saved index (differentiably — geometry grads flow through
+        # t/normal), and its own t < inf decides continuation so the
+        # replayed path stays PHYSICAL; the saved sign only vetoes
+        # false-positive continuations where FMA-contraction ulps at a
+        # grazing tangency would revive a ray the kernel terminated.
+        enc = hit_idx[b]  # flat i32[R] plane (one per bounce)
+        hitrec, mats = planar.gather_epilogue_p(
+            gs, o, d, tmin, tmax, jnp.maximum(enc, 0)
+        )
+        hit = hitrec["hit"] & (enc >= 0)
+        u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + b)
+        bounce_dir, attenuation, emitted = planar.shade_p(
+            mats, hitrec["normal"], d, u1, u2, u3
+        )
+        live_hit = hit & alive
+        lh = live_hit.astype(jnp.float32)
+        rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
+        thru = planar.where_p(live_hit, planar.mul_p(thru, attenuation), thru)
+        if b == 0:
+            first_n = planar.where_p(
+                hit, hitrec["normal"], planar.scale_p(d, -1.0)
+            )
+            first_t = jnp.where(hit, hitrec["t"], DEFAULT_RAY_TMAX)
+        alive = alive & hit
+        o = planar.where_p(hit, hitrec["pos"], o)
+        d = planar.where_p(hit, planar.normalize_p(bounce_dir), d)
+    missed = (~alive).astype(jnp.float32)
+    return rad, d, thru, missed, first_n, first_t
+
+
+def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
+    from cpppathtracer_tpu.ops.fast import _pick_tile
+    from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
+        build_geom_mxu,
+        build_geom_rows,
+    )
+
+    r = pixel_idx.shape[0]
+    samp = jnp.broadcast_to(
+        jnp.asarray(sample_idx, jnp.int32), pixel_idx.shape
+    )
+    rays = camera.ray_gen(pixel_idx, sample_idx, seed)
+    o = planar.unstack_v3(rays.origin)
+    d = planar.unstack_v3(rays.dir)
+
+    tile = min(_MEGA_TILE, _pick_tile(r))
+    r_pad = -(-r // tile) * tile
+    sg = jax.lax.stop_gradient
+    padf = lambda a: jnp.pad(sg(a), (0, r_pad - r)) if r_pad != r else sg(a)
+    o_in = tuple(padf(c) for c in o)
+    d_in = tuple(padf(c) for c in d)
+    pix_in = padf(pixel_idx)
+    samp_in = padf(samp)
+
+    geom = sg(build_geom_rows(gs))
+    gmx = sg(build_geom_mxu(gs))
+    ts, trt = build_tables_T(gs)
+    rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx = (
+        pallas_mega_trace(
+            o_in, d_in, pix_in, samp_in, sg(jnp.asarray(seed, jnp.int32)),
+            geom, gmx, sg(ts), sg(trt),
+            counts=gs.counts, depth=depth, tile=tile, interpret=interpret,
+        )
+    )
+    sl = lambda a: a[:r] if r_pad != r else a
+    out = (
+        tuple(sl(a) for a in rad),
+        tuple(sl(a) for a in miss_dir),
+        tuple(sl(a) for a in miss_thru),
+        sl(missed),
+        tuple(sl(a) for a in first_n),
+        sl(first_t),
+    )
+    return out, tuple(sl(h) for h in hit_idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def mega_sample(gs, camera, pixel_idx, sample_idx, seed, depth, interpret=False):
+    """One integrator sample via the megakernel.
+
+    Returns planar (rad vec3, miss_dir vec3, miss_thru vec3,
+    missed f32[R], first_n vec3, first_t f32[R]); the sky epilogue is the
+    caller's (it needs the texture gather, which stays in XLA).
+    Differentiable w.r.t. `gs` (scene tables) and `camera`.
+    """
+    out, _ = _kernel_forward(
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret
+    )
+    return out
+
+
+def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
+    out, hit_idx = _kernel_forward(
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret
+    )
+    return out, (gs, camera, pixel_idx, sample_idx, seed, hit_idx)
+
+
+def _mega_bwd(depth, interpret, res, ct):
+    gs, camera, pixel_idx, sample_idx, seed, hit_idx = res
+
+    def replay(gs_, camera_):
+        return _replay_outputs(
+            gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth
+        )
+
+    _, vjp_fn = jax.vjp(replay, gs, camera)
+    gs_bar, cam_bar = vjp_fn(ct)
+    return (
+        gs_bar,
+        cam_bar,
+        _float0_zero(pixel_idx),
+        _float0_zero(sample_idx),
+        _float0_zero(seed),
+    )
+
+
+mega_sample.defvjp(_mega_fwd, _mega_bwd)

@@ -172,7 +172,7 @@ def _winner_kernel_mxu_planar(
     counts, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tmin_ref, tmax_ref, geom_ref, gmx_ref, out_ref,
 ):
-    """Planar-I/O wrapper of :func:`_winner_kernel_mxu`: the eight ray
+    """Planar-I/O wrapper of :func:`_mxu_best_index`: the eight ray
     planes arrive as separate 1D f32[TR] refs with perfect {T(1024)}
     tiling and the winner index leaves as 1D i32[TR].
 
@@ -182,52 +182,50 @@ def _winner_kernel_mxu_planar(
     it at 1/8 VPU width (profiled ~47 ms/sample-loop at 1024^2).  Packing
     in-kernel keeps every XLA-side plane {T(1024)}; the 1D->2D relayouts
     here cost a few shuffles per vreg."""
-    rows = [
+    best_i = _mxu_best_index(
+        counts,
         ox_ref[...][None, :], oy_ref[...][None, :], oz_ref[...][None, :],
         dx_ref[...][None, :], dy_ref[...][None, :], dz_ref[...][None, :],
         tmin_ref[...][None, :], tmax_ref[...][None, :],
-    ]
-
-    class _Rays:
-        shape = (8, ox_ref.shape[0])
-
-        def __getitem__(self, idx):
-            # rays_ref[k:k+1, :] -> row k
-            return rows[idx[0].start]
-
-    class _Out:
-        def __setitem__(self, idx, val):
-            out_ref[...] = val[0]
-
-    _winner_kernel_mxu(counts, _Rays(), geom_ref, gmx_ref, _Out())
+        geom_ref[...], gmx_ref[...],
+    )
+    out_ref[...] = best_i[0]
 
 
 def _winner_kernel_mxu(counts, rays_ref, geom_ref, gmx_ref, out_ref):
-    """MXU variant: the quadratic coefficients b, c of every sphere and
+    """Packed-[8, R] entry of :func:`_mxu_best_index`."""
+    out_ref[:, :] = _mxu_best_index(
+        counts,
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],
+        rays_ref[6:7, :], rays_ref[7:8, :],
+        geom_ref[...], gmx_ref[...],
+    )
+
+
+def _mxu_best_index(counts, ox, oy, oz, dx, dy, dz, tmin, tmax, geom, gmx):
+    """Closest-hit winner index (MXU kernel core, value-level).
+
+    All ray components are f32[1, TR] rows; geom f32[N_rep, 8]
+    (:func:`build_geom_rows`), gmx f32[M, 11] (:func:`build_geom_mxu`).
+    Returns i32[1, TR] in DENSE grouped coordinates.
+
+    MXU trick: the quadratic coefficients b, c of every sphere and
     cylinder are affine in 11 per-ray features
       [ox oy oz dx dy dz 1 o.o o.d |o|2_xz (o.d)_xz]
-    so ONE [M, 11] @ [11, TR] matmul (gmx_ref, built by
-    :func:`build_geom_mxu`) produces them all on the MXU; the VPU tail per
-    (object, ray) pair drops from ~33 to ~19 ops (spheres) / ~71 to ~50
-    (cylinders).  Per-ray reciprocals (1/a, 1/dy, 1/ax2) are hoisted to
-    [1, TR] rows.  Same windows/tie-breaks as :func:`_winner_kernel`; fp
-    rounding differs in final ulps (MXU f32 passes + hoisted reciprocals),
-    which can flip exact-tie/tangency winners — physically equivalent
-    (tests/test_pallas_kernel.py checks index equality up to t-ties).
+    so ONE [M, 11] @ [11, TR] matmul produces them all on the MXU; the
+    VPU tail per (object, ray) pair drops from ~33 to ~19 ops (spheres) /
+    ~71 to ~45 (cylinders).  Per-ray reciprocals (1/a, 1/dy, 1/ax2) are
+    hoisted to [1, TR] rows.  Same windows/tie-breaks as
+    :func:`_winner_kernel`; fp rounding differs in final ulps (MXU f32
+    passes + hoisted reciprocals), which can flip exact-tie/tangency
+    winners — physically equivalent (tests/test_pallas_kernel.py checks
+    index equality up to t-ties).
     """
     n_s, n_p, n_c = counts
     ns8, np8, nc8 = _ceil8(n_s), _ceil8(n_p), _ceil8(n_c)
-
-    ox = rays_ref[0:1, :]  # [1, TR]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-    tmin = rays_ref[6:7, :]
-    tmax = rays_ref[7:8, :]
-
-    tr = rays_ref.shape[1]
+    geom_ref = geom
+    tr = ox.shape[1]
     best_t = jnp.full((1, tr), _INF, jnp.float32)
     best_i = jnp.zeros((1, tr), jnp.int32)
 
@@ -241,7 +239,7 @@ def _winner_kernel_mxu(counts, rays_ref, geom_ref, gmx_ref, out_ref):
         [ox, oy, oz, dx, dy, dz, ones, oo, od, oo2, od2], axis=0
     )  # [11, TR]
     bc = jax.lax.dot_general(
-        gmx_ref[...], rm, (((1,), (0,)), ((), ())),
+        gmx, rm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [M, TR]: [b_s | c_s | b2_c | c2_c] blocks, 8-row aligned
 
@@ -346,7 +344,7 @@ def _winner_kernel_mxu(counts, rays_ref, geom_ref, gmx_ref, out_ref):
             best_t, best_i, jnp.minimum(t_cap, t_lat), n_c, n_s + n_p
         )
 
-    out_ref[:, :] = best_i
+    return best_i
 
 
 def build_geom_mxu(gs):

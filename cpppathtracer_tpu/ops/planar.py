@@ -29,7 +29,12 @@ from cpppathtracer_tpu.ops.intersect import _safe_div
 from cpppathtracer_tpu.ops.mathx import EPS, schlick
 from cpppathtracer_tpu.types import DEFAULT_RAY_TMAX, MaterialType, PrimitiveType
 
-_INF = jnp.float32(DEFAULT_RAY_TMAX)
+# python float, not a jnp scalar: this module's functions are inlined
+# into Pallas kernels (ops/pallas/mega_kernel.py), which reject captured
+# array constants; np.float32 keeps the value bit-identical.
+import numpy as _np
+
+_INF = float(_np.float32(DEFAULT_RAY_TMAX))
 
 # A planar vec3 is a tuple (x, y, z) of f32[R] arrays.
 
@@ -134,7 +139,10 @@ def phong_lobe_p(u1, u2, alpha):
     log_u = jnp.log(jnp.maximum(u1, jnp.float32(1e-38)))
     inv_a = 1.0 / alpha
     z = jnp.exp(log_u * inv_a)
-    r = jnp.sqrt(jnp.maximum(-jnp.expm1(2.0 * log_u * inv_a), 0.0))
+    # -expm1(y) via -tanh(y/2)*(e^y + 1): exact identity, same
+    # conditioning, and Pallas-TPU-lowerable (see mathx.phong_lobe_local)
+    y = 2.0 * log_u * inv_a
+    r = jnp.sqrt(jnp.maximum(-jnp.tanh(0.5 * y) * (jnp.exp(y) + 1.0), 0.0))
     phi = (2.0 * jnp.pi) * u2
     return r * jnp.cos(phi), r * jnp.sin(phi), z
 

@@ -84,12 +84,13 @@ def _refract(v, n, ni_over_nt):
 
 
 def _phong_local(u1, u2, alpha):
-    # expm1 formulation, mirroring ops/mathx.phong_lobe_local (same
-    # distribution as the reference's pow/sqrt, better conditioned).
+    # tanh-based -expm1 formulation, mirroring ops/mathx.phong_lobe_local
+    # (same distribution as the reference's pow/sqrt, better conditioned).
     log_u = np.log(np.maximum(F(u1), F(1e-38)))
     inv_a = F(1.0) / F(alpha)
     z = np.exp(log_u * inv_a)
-    r = np.sqrt(np.maximum(-np.expm1(F(2.0) * log_u * inv_a), F(0.0)))
+    y = F(2.0) * log_u * inv_a
+    r = np.sqrt(np.maximum(-np.tanh(F(0.5) * y) * (np.exp(y) + F(1.0)), F(0.0)))
     phi = F(2.0) * PI * F(u2)
     return np.array([r * np.cos(phi), r * np.sin(phi), z], F)
 

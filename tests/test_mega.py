@@ -1,0 +1,135 @@
+"""Megakernel path (ops/mega.py + ops/pallas/mega_kernel.py) vs the
+default bounce-loop path — forward and gradient equivalence.
+
+Runs the kernel in interpret mode on CPU.  On a controlled scene with no
+grazing tangencies the two paths must agree tightly; on the dense demo
+scene the backward replay may honestly diverge on the ~1% of rays whose
+near-tangent hits land on different FMA-contraction roundings (see
+ops/mega.py docstring), so aggregate gradient agreement is asserted.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpppathtracer_tpu.integrator import render_radiance
+from cpppathtracer_tpu.models.camera import Camera
+from cpppathtracer_tpu.models.scene import SceneBuilder, demo_scene
+from cpppathtracer_tpu.ops.texture import procedural_sky
+from cpppathtracer_tpu.types import MaterialType
+
+
+def _controlled_scene():
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.8, 0.8, 0.8))
+    b.add_sphere((0.0, 2.0, 0.0), 2.0, kd=(0.7, 0.3, 0.2))
+    b.add_sphere(
+        (4.5, 1.5, 1.0), 1.5, mat_type=MaterialType.METAL, smoothness=0.8
+    )
+    b.add_cylinder(
+        (-4.5, 1.5, 0.0), 1.2, 3.0, mat_type=MaterialType.GLASS, ior=1.5
+    )
+    b.add_sphere((2.0, 1.0, -3.0), 1.0, kd=(1.0, 0.9, 0.7), emission=2.0)
+    return b.build()
+
+
+def _render_loss(scene, camera, sky, spp, depth):
+    def loss(params, scene, sky_tex):
+        scene = scene.with_material_params(
+            {**scene.material_params(), **params}
+        )
+        rad, n0, t0 = render_radiance(
+            scene, camera, sky_tex, spp=spp, max_depth=depth, seed=0
+        )
+        return jnp.sum(rad * rad), (rad, n0, t0)
+
+    return loss
+
+
+@pytest.fixture
+def _mega_env(monkeypatch):
+    def set_mega(on):
+        monkeypatch.setenv("POCA_MEGA", "1" if on else "0")
+        # the mega fwd and the baseline must pick the same winner variant
+        monkeypatch.setenv("POCA_PALLAS", "1")
+        monkeypatch.setenv("POCA_KVARIANT", "mxu")
+
+    return set_mega
+
+
+def test_mega_forward_matches_default(_mega_env):
+    scene = _controlled_scene()
+    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+    loss = _render_loss(scene, cam, sky, spp=2, depth=4)
+    params = {"kd": scene.kd, "emission": scene.emission}
+
+    _mega_env(False)
+    (l0, (rad0, n0_0, t0_0)) = loss(params, scene, sky)
+    _mega_env(True)
+    (l1, (rad1, n0_1, t0_1)) = loss(params, scene, sky)
+    np.testing.assert_allclose(np.asarray(rad1), np.asarray(rad0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n0_1), np.asarray(n0_0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t0_1), np.asarray(t0_0), rtol=1e-5)
+
+
+def test_mega_grads_match_default_controlled(_mega_env):
+    scene = _controlled_scene()
+    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+    loss = _render_loss(scene, cam, sky, spp=2, depth=4)
+    params = {"kd": scene.kd, "emission": scene.emission}
+
+    grad = jax.grad(lambda p, s, k: loss(p, s, k)[0])
+    _mega_env(False)
+    g0 = grad(params, scene, sky)
+    _mega_env(True)
+    g1 = grad(params, scene, sky)
+    for k in ("kd", "emission"):
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-3, atol=1e-3,
+            err_msg=k,
+        )
+
+
+def test_mega_sky_and_camera_grads(_mega_env):
+    scene = _controlled_scene()
+    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+
+    def loss_sky(sky_tex, origin):
+        c = cam.replace(origin=origin)
+        rad, _, _ = render_radiance(scene, c, sky_tex, spp=1, max_depth=3, seed=0)
+        return jnp.sum(rad * rad)
+
+    _mega_env(False)
+    gs0, go0 = jax.grad(loss_sky, argnums=(0, 1))(sky, cam.origin)
+    _mega_env(True)
+    gs1, go1 = jax.grad(loss_sky, argnums=(0, 1))(sky, cam.origin)
+    assert float(jnp.linalg.norm(gs0)) > 0  # sky grads actually flow
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(go1), np.asarray(go0), rtol=1e-2, atol=1e-2)
+
+
+def test_mega_demo_scene_aggregate_grads(_mega_env):
+    # Dense demo scene: individual entries may differ where replayed
+    # chains honestly diverge at tangencies; aggregates must agree.
+    scene = demo_scene(seed=0).build()
+    cam = Camera.make(24, 16, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    sky = jnp.asarray(procedural_sky(16, 16))
+    loss = _render_loss(scene, cam, sky, spp=2, depth=4)
+    params = {"kd": scene.kd, "emission": scene.emission}
+    grad = jax.grad(lambda p, s, k: loss(p, s, k)[0])
+    _mega_env(False)
+    g0 = grad(params, scene, sky)
+    _mega_env(True)
+    g1 = grad(params, scene, sky)
+    for k in ("kd", "emission"):
+        a = np.asarray(g0[k]).ravel()
+        b = np.asarray(g1[k]).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999, (k, cos)
+        assert abs(np.linalg.norm(b) / np.linalg.norm(a) - 1) < 5e-3, k
