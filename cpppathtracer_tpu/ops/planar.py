@@ -165,9 +165,12 @@ def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None):
     reflectivity = mat["reflectivity"]
     ior = mat["ior"]
 
-    is_diffuse = mat_type == MaterialType.DIFFUSE
+    is_metal = mat_type == MaterialType.METAL
     is_mirror = mat_type == MaterialType.MIRROR
     is_glass = mat_type == MaterialType.GLASS
+    # Unknown types (incl. MaterialType::Test) dispatch to the diffuse
+    # shader, matching the reference's `default:` case (material.cu:160-161).
+    is_diffuse = ~(is_metal | is_mirror | is_glass)
 
     alpha_phong = jnp.power(jnp.float32(1000.0), smoothness)
     reflect_dir = reflect_p(in_dir, normal)

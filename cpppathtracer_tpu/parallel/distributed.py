@@ -92,6 +92,10 @@ def render_with_recovery(step_fn, state, *, checkpoint_path: str,
         state, meta = checkpoint.restore(checkpoint_path, state)
         i = int(meta.get("step", 0))
         log.info("resumed from %s at step %d", checkpoint_path, i)
+    # JAX arrays are immutable, so holding the entry-state pytree is a
+    # free snapshot: a failure BEFORE the first checkpoint restarts from
+    # here rather than retrying with the mutated in-flight state.
+    initial_state, initial_i = state, i
     retries = 0
     while True:
         try:
@@ -115,3 +119,5 @@ def render_with_recovery(step_fn, state, *, checkpoint_path: str,
             if os.path.exists(checkpoint_path):
                 state, meta = checkpoint.restore(checkpoint_path, state)
                 i = int(meta.get("step", i))
+            else:
+                state, i = initial_state, initial_i

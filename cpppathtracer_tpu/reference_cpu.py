@@ -190,6 +190,10 @@ def _shade(sc, i, normal, in_dir, u1, u2, u3):
     kd = sc["kd"][i].astype(F)
     emitted = F(sc["emission"][i]) * kd
     smooth = F(sc["smoothness"][i])
+    if mt not in (MaterialType.METAL, MaterialType.MIRROR, MaterialType.GLASS):
+        # Unknown types (incl. MaterialType::Test) run the diffuse shader —
+        # the reference's `default:` case (material.cu:160-161).
+        mt = MaterialType.DIFFUSE
     if mt == MaterialType.DIFFUSE:
         local = _phong_local(u1, u2, F(2.0))
         wo = _to_world(local, normal)
@@ -235,7 +239,7 @@ def _shade(sc, i, normal, in_dir, u1, u2, u3):
             base = refracted
         wo = _to_world(local, base)
         return wo, kd, emitted
-    raise ValueError(f"bad material {mt}")
+    raise AssertionError(f"unreachable material {mt}")
 
 
 # ----------------------------------------------------------------------------

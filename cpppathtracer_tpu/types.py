@@ -51,6 +51,11 @@ class MaterialType(enum.IntEnum):
     METAL = 1
     MIRROR = 2
     GLASS = 3
+    # `Test` exists in the reference enum (include/material.h:13) with no
+    # shader of its own: dispatch falls through to DiffuseHitShader
+    # (cuSrc/material.cu:160-161).  All shade implementations here treat
+    # ANY unknown mat_type as DIFFUSE to match.
+    TEST = 4
 
 
 @jax.tree_util.register_dataclass

@@ -95,3 +95,52 @@ def test_mirror_reflectivity_mix():
     wo, _, _ = bsdf.shade(mats, normal, in_dir, u1, u2, u3)
     wo = np.asarray(wo)
     assert abs(wo[:, 2].mean() - 2 / 3) < 0.02  # cosine lobe around +z
+
+
+def test_unknown_mat_type_dispatches_to_diffuse():
+    # MaterialType::Test (and any unknown enum value) runs the diffuse
+    # shader in the reference (`default:`, material.cu:160-161).
+    from cpppathtracer_tpu.ops import planar
+
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 0), 1.0, mat_type=MaterialType.DIFFUSE,
+                 kd=(0.8, 0.4, 0.2), emission=0.3)
+    scene = b.build()
+    n = 64
+    normal = _rand_unit(n)
+    in_dir = _rand_unit(n)
+    u1 = RNG.uniform(0, 1, n).astype(np.float32)
+    u2 = RNG.uniform(0, 1, n).astype(np.float32)
+    u3 = RNG.uniform(0, 1, n).astype(np.float32)
+    mats = bsdf.gather_materials(scene, jnp.zeros(n, jnp.int32))
+    ref_out = bsdf.shade(mats, jnp.asarray(normal), jnp.asarray(in_dir),
+                         jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(u3))
+    for unknown in (MaterialType.TEST, 7):
+        mats_u = dict(mats, mat_type=jnp.full(n, int(unknown), jnp.int32))
+        got = bsdf.shade(mats_u, jnp.asarray(normal), jnp.asarray(in_dir),
+                         jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(u3))
+        for a, b_ in zip(ref_out, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # planar twin
+        mats_p = {
+            "mat_type": jnp.full(n, int(unknown), jnp.int32),
+            "kd_p": planar.unstack_v3(mats["kd"]),
+            "emission": mats["emission"],
+            "smoothness": mats["smoothness"],
+            "reflectivity": mats["reflectivity"],
+            "ior": mats["ior"],
+        }
+        wo_p, att_p, em_p = planar.shade_p(
+            mats_p, planar.unstack_v3(jnp.asarray(normal)),
+            planar.unstack_v3(jnp.asarray(in_dir)),
+            jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(u3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(planar.stack_v3(wo_p)), np.asarray(ref_out[0]), atol=1e-6)
+        # scalar oracle
+        sc = ref.scene_to_np(scene)
+        sc["mat_type"] = np.full(1, int(unknown), np.int32)
+        for i in range(8):
+            wwo, watt, wemit = ref._shade(sc, 0, normal[i], in_dir[i], u1[i], u2[i], u3[i])
+            np.testing.assert_allclose(np.asarray(ref_out[0])[i], wwo, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ref_out[1])[i], watt, atol=1e-5)

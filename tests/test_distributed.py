@@ -66,3 +66,28 @@ def test_render_with_recovery_gives_up(tmp_path):
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_render_with_recovery_restores_initial_state_before_first_ckpt(tmp_path):
+    # A failure BEFORE the first checkpoint must retry from the ENTRY
+    # state, not the mutated in-flight state.
+    path = str(tmp_path / "none.npz")
+    calls = {"n": 0}
+
+    def step(state, i):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail on the second call (i=1, no ckpt yet)
+            raise RuntimeError("injected-early")
+        return {"acc": state["acc"] + 1.0}
+
+    gen = render_with_recovery(
+        step, {"acc": jnp.zeros(())}, checkpoint_path=path,
+        checkpoint_every=100, max_retries=2,
+    )
+    out = None
+    for i, st in gen:
+        out = st
+        if i >= 3:
+            break
+    # i restarts from 0 after the failure; each success adds exactly 1
+    assert float(out["acc"]) == 3.0
