@@ -24,9 +24,11 @@ exponent, IOR via the refracted direction and Fresnel) stay in the
 autodiff graph; the Bernoulli branch choices (reflect-vs-diffuse,
 reflect-vs-refract) compare against `stop_gradient`ed probabilities, so
 albedo/emission/sky gradients are exact and roughness/IOR gradients are
-the standard detached-sampling estimates.  `reflectivity` receives no
-gradient through the detached decision (documented limitation; a
-score-function term would recover it).
+the standard detached-sampling estimates.  The detached Bernoulli
+decisions additionally carry a score-function (REINFORCE) surrogate
+(:func:`_score_weight`) so `reflectivity` — and the Fresnel-probability
+component of the IOR gradient — get unbiased likelihood-ratio gradients
+with bit-identical forward values (disable with ``score_grad=False``).
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ from cpppathtracer_tpu.ops import mathx
 from cpppathtracer_tpu.types import MaterialType
 
 
-def shade(mat, normal, in_dir, u1, u2, u3, kd_override=None):
+def shade(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True):
     """Sample the bounce for a wavefront of hits.
 
     Args:
@@ -118,8 +120,47 @@ def shade(mat, normal, in_dir, u1, u2, u3, kd_override=None):
     atten_on = is_glass | above_horizon
     atten_kd = kd if kd_override is None else kd_override
     attenuation = jnp.where(atten_on[..., None], atten_kd, jnp.zeros_like(atten_kd))
+    if score_grad:
+        w = _score_weight(
+            is_mirror, mirror_reflects, reflectivity,
+            is_glass, glass_reflects, reflect_prob,
+        )
+        attenuation = attenuation * w[..., None]
     emitted = mat["emission"][..., None] * kd
     return bounce_dir, attenuation, emitted
+
+
+def _score_weight(is_mirror, mirror_reflects, reflectivity,
+                  is_glass, glass_reflects, reflect_prob):
+    """Score-function (REINFORCE) surrogate for the detached Bernoulli
+    branch choices.
+
+    Multiplying the attenuation by ``w = p_chosen / stop_grad(p_chosen)``
+    leaves the forward value bit-identical (x/x == 1.0 exactly for any
+    finite nonzero float) but contributes ``d log p/dtheta * downstream``
+    to the backward — the standard likelihood-ratio estimator.  This
+    recovers the `reflectivity` gradient (MIRROR's reflect-vs-diffuse
+    choice, material.cu:77-89) and the Fresnel-probability part of the
+    IOR gradient (GLASS's reflect-vs-refract choice, material.cu:133)
+    that detached sampling alone drops.  All future contributions of the
+    path (which are exactly the outcomes that depend on the decision)
+    pick up the weight through the throughput product.
+
+    Double-where guards: an unselected branch with probability 0 (e.g.
+    reflectivity == 0, or TIR where reflect_prob == 1) must not evaluate
+    0/0 — its lane divides by a dummy 1 instead.
+    """
+    def branch(took, p):
+        p_det = jax.lax.stop_gradient(p)
+        w_take = p / jnp.where(p_det > 0, p_det, 1.0)
+        q = 1.0 - p
+        q_det = jax.lax.stop_gradient(q)
+        w_skip = q / jnp.where(q_det > 0, q_det, 1.0)
+        return jnp.where(took, w_take, w_skip)
+
+    one = jnp.ones_like(reflectivity)
+    w = jnp.where(is_mirror, branch(mirror_reflects, reflectivity), one)
+    return w * jnp.where(is_glass, branch(glass_reflects, reflect_prob), one)
 
 
 def gather_materials(scene, obj_idx):

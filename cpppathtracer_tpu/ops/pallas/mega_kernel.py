@@ -149,8 +149,11 @@ def _mega_kernel(
             "ior": rec[10],
         }
         u1, u2, u3 = _uniforms3(seed_u32, pix, samp, 1 + b)
+        # score_grad off: the surrogate weights are exactly 1.0 in the
+        # forward and this kernel is never differentiated (ops/mega.py's
+        # replay carries them).
         bounce_dir, attenuation, emitted = planar.shade_p(
-            mats, normal, d, u1, u2, u3
+            mats, normal, d, u1, u2, u3, score_grad=False
         )
 
         live_hit = hit & alive

@@ -152,7 +152,7 @@ def phong_lobe_p(u1, u2, alpha):
 # ---------------------------------------------------------------------------
 
 
-def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None):
+def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True):
     """Planar BSDF sampling; see ops/bsdf.shade for the semantics contract.
 
     mat: dict with mat_type/emission/smoothness/reflectivity/ior f32[R]
@@ -216,6 +216,16 @@ def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None):
     atten_kd = kd if kd_override is None else kd_override
     zero = jnp.zeros_like(u1)
     attenuation = where_p(atten_on, atten_kd, (zero, zero, zero))
+    if score_grad:
+        # score-function surrogate for the detached branch choices —
+        # forward-exact x/x == 1 weights; see ops/bsdf._score_weight.
+        from cpppathtracer_tpu.ops.bsdf import _score_weight
+
+        w = _score_weight(
+            is_mirror, mirror_reflects, reflectivity,
+            is_glass, glass_reflects, reflect_prob,
+        )
+        attenuation = scale_p(attenuation, w)
     emitted = scale_p(kd, mat["emission"])
     return bounce_dir, attenuation, emitted
 

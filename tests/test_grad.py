@@ -223,3 +223,109 @@ def test_two_bounce_product_gradient_analytic():
     # -> dL/dkd_floor_r = L / kd_floor_r.
     lval = float(loss(scene.kd))
     np.testing.assert_allclose(float(g[0, 0]), lval / 0.6, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# Score-function (REINFORCE) gradients for the detached Bernoulli branches
+# (reflectivity; the Fresnel-probability part of IOR) + pathwise FD checks
+# for smoothness — all against FD on the EXPECTED loss (many samples).
+# ----------------------------------------------------------------------------
+
+from cpppathtracer_tpu.ops import bsdf as _bsdf
+from cpppathtracer_tpu.utils.rng import uniforms4 as _u4
+
+_N_SCORE = 1 << 17
+
+
+def _shade_setup(n=_N_SCORE):
+    normal = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    in_dir = jnp.tile(
+        jnp.asarray([[0.7071, 0.0, -0.7071]], jnp.float32), (n, 1)
+    )
+    u1, u2, u3, _ = _u4(9, jnp.arange(n), 0, 1)
+    return normal, in_dir, u1, u2, u3
+
+
+def _mats(n, mat_type, **kw):
+    base = dict(
+        kd=jnp.tile(jnp.asarray([[0.8, 0.6, 0.4]], jnp.float32), (n, 1)),
+        emission=jnp.zeros((n,), jnp.float32),
+        smoothness=jnp.full((n,), 2.0, jnp.float32),
+        reflectivity=jnp.full((n,), 0.4, jnp.float32),
+        ior=jnp.full((n,), 1.5, jnp.float32),
+        mat_type=jnp.full((n,), int(mat_type), jnp.int32),
+    )
+    base.update({k: jnp.full((n,), v, jnp.float32) for k, v in kw.items()})
+    return base
+
+
+def _expected_loss(mat_type, field):
+    normal, in_dir, u1, u2, u3 = _shade_setup()
+    n = u1.shape[0]
+
+    @jax.jit
+    def loss(val):
+        mats = _mats(n, mat_type)
+        mats[field] = jnp.full((n,), val, jnp.float32)
+        wo, att, _ = _bsdf.shade(mats, normal, in_dir, u1, u2, u3)
+        # smooth functional of the bounce direction; att carries the
+        # score surrogate weight
+        h = jax.nn.sigmoid(3.0 * wo[:, 2] / jnp.linalg.norm(wo, axis=-1))
+        return jnp.mean(att[:, 0] * h)
+
+    return loss
+
+
+def test_reflectivity_score_gradient_matches_fd():
+    loss = _expected_loss(MaterialType.MIRROR, "reflectivity")
+    r0 = 0.4
+    g = float(jax.grad(loss)(jnp.float32(r0)))
+    eps = 0.05
+    fd = (float(loss(jnp.float32(r0 + eps))) - float(loss(jnp.float32(r0 - eps)))) / (2 * eps)
+    assert abs(g) > 1e-4  # the gradient exists at all now
+    assert abs(fd - g) <= 0.15 * max(abs(fd), abs(g)), (fd, g)
+
+
+def test_ior_gradient_matches_fd_expected_loss():
+    # AD = pathwise (refraction direction + Schlick) + score term for the
+    # reflect-vs-refract choice; FD on the expected loss sees the total.
+    loss = _expected_loss(MaterialType.GLASS, "ior")
+    v0 = 1.5
+    g = float(jax.grad(loss)(jnp.float32(v0)))
+    eps = 0.02
+    fd = (float(loss(jnp.float32(v0 + eps))) - float(loss(jnp.float32(v0 - eps)))) / (2 * eps)
+    assert abs(fd - g) <= 0.15 * max(1e-3, abs(fd), abs(g)), (fd, g)
+
+
+def test_smoothness_gradient_matches_fd_expected_loss():
+    # smoothness is purely pathwise (lobe exponent reparameterization)
+    loss = _expected_loss(MaterialType.METAL, "smoothness")
+    v0 = 2.0
+    g = float(jax.grad(loss)(jnp.float32(v0)))
+    eps = 1e-2
+    fd = (float(loss(jnp.float32(v0 + eps))) - float(loss(jnp.float32(v0 - eps)))) / (2 * eps)
+    assert abs(fd - g) <= 0.05 * max(1e-3, abs(fd), abs(g)), (fd, g)
+
+
+def test_reflectivity_gradient_flows_in_integrator():
+    # End-to-end: grad wrt reflectivity through the full render is finite
+    # and nonzero for a scene whose MIRROR sphere is visible.
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.8, 0.8, 0.8))
+    b.add_sphere((0.0, 2.0, 0.0), 2.0, mat_type=MaterialType.MIRROR,
+                 kd=(0.9, 0.9, 0.9), smoothness=2.0, reflectivity=0.5)
+    scene = b.build()
+    cam = Camera.make(8, 8, origin=(0.0, 4.0, -10.0), look_at=(0.0, 2.0, 0.0))
+
+    def loss(refl):
+        import dataclasses
+
+        rad, _, _ = render_radiance(
+            dataclasses.replace(scene, reflectivity=refl), cam, SKY,
+            spp=4, max_depth=3, seed=2,
+        )
+        return jnp.sum(rad)
+
+    g = np.asarray(jax.grad(loss)(scene.reflectivity))
+    assert np.all(np.isfinite(g))
+    assert abs(g[1]) > 0.0
