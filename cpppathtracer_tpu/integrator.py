@@ -350,6 +350,9 @@ def render_radiance(
     use_mega = (
         gs is not None
         and tex_stack is None
+        # BVH scenes take the per-bounce traversal-kernel path — the mega
+        # kernel's in-VMEM winner search is the dense O(R*N) form
+        and (gs.bvh_meta is None or os.environ.get("POCA_BVH", "1") == "0")
         and (force_mega == "1" if force_mega in ("0", "1") else on_tpu)
     )
     if use_mega:

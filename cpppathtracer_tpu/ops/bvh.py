@@ -358,3 +358,147 @@ def intersect_auto(scene, rays: Rays, bvh: BVH | None = None, dense_threshold: i
     if bvh is None or scene.num_objects <= dense_threshold:
         return dense_intersect(scene, rays)
     return intersect_bvh(scene, bvh, rays)
+
+
+# ----------------------------------------------------------------------------
+# TPU skip-pointer BVH (tile-coherent stackless traversal)
+# ----------------------------------------------------------------------------
+
+def build_skip_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray,
+                   leaf_size: int = 8):
+    """Median-split BVH with K-object leaves, preorder nodes and ESCAPE
+    indices ("skip pointers") for stackless traversal.
+
+    This is the TPU-grade re-design of the reference's acceleration
+    structure (`cuSrc/bvh.cu:31-95` build, `:167-205` traversal): the
+    per-thread index stack becomes a single preorder node walk shared by
+    a whole ray TILE — at each node the kernel slab-tests ALL rays in the
+    tile; if any overlaps, it descends (node+1 in preorder), otherwise it
+    jumps the whole subtree via `escape`.  Node fetches are therefore
+    UNIFORM scalar reads (TPU-friendly) and all per-ray work is vector
+    slab math; leaves hold K objects in contiguous, sublane-aligned rows
+    so leaf tests are one [K, TILE] vectorized candidate evaluation.
+
+    Returns dict:
+      node_aabb  f32[M, 8]  (min.xyz, max.xyz, pad, pad)
+      node_meta  i32[M, 2]  (escape, leaf_id or -1)
+      leaf_objs  i32->rows: f32[L*K, 8] (cx, cy, cz, radius, y_pos,
+                 height, prim_type (-1 pad), obj_index)
+      order      i32[n_active] object permutation (leaf-contiguous)
+    """
+    n = aabb_min.shape[0]
+    active = [i for i in range(n) if aabb_min[i, 0] <= aabb_max[i, 0]]
+    order = list(active)
+    cent = (aabb_min + aabb_max) * 0.5
+
+    nodes = []  # dict(min, max, left, right, leaf_lr)
+
+    def divide(l, r):
+        idx = len(nodes)
+        nodes.append({"left": -1, "right": -1, "leaf": None})
+        group = order[l:r]
+        gmin = aabb_min[group].min(axis=0)
+        gmax = aabb_max[group].max(axis=0)
+        nodes[idx]["min"] = gmin
+        nodes[idx]["max"] = gmax
+        if r - l <= leaf_size:
+            nodes[idx]["leaf"] = (l, r)
+            return idx
+        span = gmax - gmin
+        if span[0] >= span[1] and span[0] >= span[2]:
+            axis = 0
+        elif span[1] >= span[2]:
+            axis = 1
+        else:
+            axis = 2
+        group.sort(key=lambda o: float(cent[o, axis]))
+        order[l:r] = group
+        mid = (l + r) // 2
+        nodes[idx]["left"] = divide(l, mid)
+        nodes[idx]["right"] = divide(mid, r)
+        return idx
+
+    if active:
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 4 * len(active) + 100))
+        try:
+            divide(0, len(active))
+        finally:
+            sys.setrecursionlimit(old)
+    else:
+        nodes.append({
+            "left": -1, "right": -1, "leaf": (0, 0),
+            "min": np.full(3, np.inf, np.float32),
+            "max": np.full(3, -np.inf, np.float32),
+        })
+
+    m = len(nodes)
+    escape = np.zeros(m, np.int32)
+
+    def set_escape(idx, esc):
+        escape[idx] = esc
+        li, ri = nodes[idx]["left"], nodes[idx]["right"]
+        if li >= 0:
+            set_escape(li, ri)  # left's subtree exits into right (preorder)
+            set_escape(ri, esc)
+
+    set_escape(0, m)
+
+    leaves = [i for i in range(m) if nodes[i]["leaf"] is not None]
+    k = leaf_size
+    leaf_objs = np.zeros((max(len(leaves), 1) * k, 8), np.float32)
+    leaf_objs[:, 6] = -1.0  # padding rows: prim_type -1 never hits
+    node_meta = np.full((m, 2), -1, np.int32)
+    node_meta[:, 0] = escape
+    node_aabb = np.zeros((m, 8), np.float32)
+    for i, nd in enumerate(nodes):
+        node_aabb[i, 0:3] = nd["min"]
+        node_aabb[i, 3:6] = nd["max"]
+    return {
+        "node_aabb": node_aabb,
+        "node_meta": node_meta,
+        "leaf_objs": leaf_objs,
+        "order": np.asarray(order, np.int32),
+        "leaves": leaves,
+        "leaf_size": k,
+        "nodes": nodes,
+    }
+
+
+def skip_bvh_tables(scene_center, scene_radius, scene_y_pos, scene_height,
+                    scene_prim_type, leaf_size: int = 8):
+    """Build the skip-pointer BVH over GROUPED object arrays (numpy) and
+    fill the leaf object table with the grouped indices the winner kernels
+    return (so the gather epilogue is unchanged)."""
+    n = len(scene_prim_type)
+    sc = {
+        "prim_type": np.asarray(scene_prim_type),
+        "center": np.asarray(scene_center, np.float32),
+        "radius": np.asarray(scene_radius, np.float32),
+        "y_pos": np.asarray(scene_y_pos, np.float32),
+        "height": np.asarray(scene_height, np.float32),
+    }
+    amin, amax = object_aabbs(sc)
+    built = build_skip_bvh(amin, amax, leaf_size)
+    k = built["leaf_size"]
+    order = built["order"]
+    leaf_objs = built["leaf_objs"]
+    for leaf_id, node_i in enumerate(built["leaves"]):
+        l, r = built["nodes"][node_i]["leaf"]
+        built["node_meta"][node_i, 1] = leaf_id
+        for j, oi in enumerate(order[l:r]):
+            row = leaf_id * k + j
+            leaf_objs[row, 0:3] = sc["center"][oi]
+            leaf_objs[row, 3] = sc["radius"][oi]
+            leaf_objs[row, 4] = sc["y_pos"][oi]
+            leaf_objs[row, 5] = sc["height"][oi]
+            leaf_objs[row, 6] = float(sc["prim_type"][oi])
+            leaf_objs[row, 7] = float(oi)
+    return {
+        "node_aabb": built["node_aabb"],
+        "node_meta": built["node_meta"],
+        "leaf_objs": leaf_objs,
+        "leaf_size": k,
+    }

