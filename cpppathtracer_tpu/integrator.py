@@ -268,6 +268,70 @@ def trace_bounces(scene, sky_tex, rays: Rays, pixel_idx, sample_idx, seed, max_d
     return radiance, first_n, first_t
 
 
+def _mega_tex_radiance(gs, tex_stack, hit_planes, aux, miss_p, missed,
+                       sky_packed, max_depth):
+    """Textured-albedo accumulation epilogue for the mega path.
+
+    The megakernel's path GEOMETRY is kd-independent (bounce directions /
+    masks never read the albedo), so with per-bounce winner indices
+    (`hit_planes`), hit positions and attenuation-on masks (`aux`) saved
+    by the kernel, the radiance recurrence
+        rad += thru * (emission_b * kd_b);  thru *= A_b
+    with A_b = texture(uv_b) where tex_id >= 0 else kd_b (Material::GetKd,
+    material.cu:11-18; emission reads the raw kd_ field, :140-141) can be
+    replayed in XLA with just O(depth) table takes + texture gathers —
+    no winner search, no shade recompute.  Differentiable w.r.t. the
+    scene tables, the textures (exact gathers) and, through the
+    hit-position cotangents, the geometry.  NOTE: this recurrence does
+    not re-apply the score-function surrogate weights (ops/bsdf.py) —
+    detached-branch (reflectivity / Fresnel-choice) gradients of
+    textured-scene radiance are pathwise-only, matching the pre-surrogate
+    estimator.
+    """
+    from cpppathtracer_tpu.ops.uv import surface_uv_p
+
+    r = hit_planes[0].shape[0]
+    zero = missed * 0.0
+    one = zero + 1.0
+    thru = (one, one, one)
+    rad = (zero, zero, zero)
+    alive = zero < 1.0
+    for b in range(max_depth):
+        enc = hit_planes[b]
+        hit = enc >= 0
+        idx = jnp.maximum(enc, 0)
+        take = lambda col: jnp.take(col, idx, axis=0)
+        kd_b = (take(gs.table_r[:, 0]), take(gs.table_r[:, 1]),
+                take(gs.table_r[:, 2]))
+        em_b = take(gs.table_r[:, 3])
+        tid = take(gs.table_s[:, 11]).astype(jnp.int32)
+        prim = take(gs.table_s[:, 6]).astype(jnp.int32)
+        center = (take(gs.table_s[:, 0]), take(gs.table_s[:, 1]),
+                  take(gs.table_s[:, 2]))
+        radius = take(gs.table_s[:, 3])
+        y_pos = take(gs.table_s[:, 4])
+        height = take(gs.table_s[:, 5])
+        pos, att = aux[b]
+        uu, vv = surface_uv_p(prim, center, radius, y_pos, height, pos)
+        kd_tex = (zero, zero, zero)
+        for t in range(tex_stack.shape[0]):
+            smp = planar.unstack_v3(texture.sample_bilinear(tex_stack[t], uu, vv))
+            kd_tex = planar.where_p(tid == t, smp, kd_tex)
+        kd_att = planar.where_p(tid >= 0, kd_tex, kd_b)
+        attn = planar.scale_p(kd_att, att)
+        live = hit & alive
+        lh = live.astype(jnp.float32)
+        rad = planar.add_p(
+            rad, planar.scale_p(planar.mul_p(thru, planar.scale_p(kd_b, em_b)), lh)
+        )
+        thru = planar.where_p(live, planar.mul_p(thru, attn), thru)
+        alive = alive & hit
+    sky = texture.sample_sky_packed(sky_packed, planar.stack_v3(miss_p))
+    return planar.stack_v3(rad) + (
+        planar.stack_v3(thru) * sky * missed[..., None]
+    )
+
+
 def render_sample(scene, camera: Camera, sky_tex, pixel_idx, sample_idx, seed, max_depth: int,
                   tex_stack=None, unroll: bool | None = None, sky_packed=None,
                   gs=None):
@@ -349,7 +413,6 @@ def render_radiance(
     on_tpu = jax.default_backend() == "tpu"
     use_mega = (
         gs is not None
-        and tex_stack is None
         # BVH scenes take the per-bounce traversal-kernel path — the mega
         # kernel's in-VMEM winner search is the dense O(R*N) form
         and (gs.bvh_meta is None or os.environ.get("POCA_BVH", "1") == "0")
@@ -358,17 +421,31 @@ def render_radiance(
     if use_mega:
         from cpppathtracer_tpu.ops import mega
 
+        mega_aux = tex_stack is not None
+
         def body_mega(acc, s):
             s_key = sample_offset + s * spp_chunk
             if samp_rep is not None:
                 s_key = s_key + samp_rep
-            rad_p, miss_p, thru_p, missed, fn_p, ft = mega.mega_sample(
-                gs, camera, pix_c, s_key, seed, max_depth, not on_tpu
+            outs = mega.mega_sample(
+                gs, camera, pix_c, s_key, seed, max_depth, not on_tpu,
+                mega_aux,
             )
-            sky = texture.sample_sky_packed(sky_packed, planar.stack_v3(miss_p))
-            rad = planar.stack_v3(rad_p) + (
-                planar.stack_v3(thru_p) * sky * missed[..., None]
-            )
+            if mega_aux:
+                (rad_p, miss_p, thru_p, missed, fn_p, ft,
+                 hit_planes, aux) = outs
+                rad = _mega_tex_radiance(
+                    gs, tex_stack, hit_planes, aux, miss_p, missed,
+                    sky_packed, max_depth,
+                )
+            else:
+                rad_p, miss_p, thru_p, missed, fn_p, ft = outs
+                sky = texture.sample_sky_packed(
+                    sky_packed, planar.stack_v3(miss_p)
+                )
+                rad = planar.stack_v3(rad_p) + (
+                    planar.stack_v3(thru_p) * sky * missed[..., None]
+                )
             n0 = planar.stack_v3(fn_p)
             if spp_chunk > 1:
                 rad = jnp.sum(rad.reshape(spp_chunk, r_n, 3), axis=0)

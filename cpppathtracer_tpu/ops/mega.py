@@ -48,7 +48,8 @@ def _float0_zero(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
-def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth):
+def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
+                    with_aux=False):
     """Plain-XLA reconstruction of the megakernel's outputs from the saved
     winner indices.  Shares planar.gather_epilogue_p / planar.shade_p with
     both the kernel (inlined) and the non-mega integrator body, so the
@@ -64,6 +65,7 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth):
     first_n = (zero1, zero1, zero1)
     first_t = zero1
     tmax = zero1 + jnp.float32(DEFAULT_RAY_TMAX)
+    aux = []
     for b in range(depth):
         tmin = zero1 + (0.0 if b == 0 else jnp.float32(BOUNCE_RAY_TMIN))
         # hit_idx is sign-encoded: winner index where the kernel saw a
@@ -82,6 +84,13 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth):
         bounce_dir, attenuation, emitted = planar.shade_p(
             mats, hitrec["normal"], d, u1, u2, u3
         )
+        if with_aux:
+            from cpppathtracer_tpu.types import MaterialType
+
+            att_on = (mats["mat_type"] == MaterialType.GLASS) | (
+                planar.dot_p(hitrec["normal"], bounce_dir) > 0.0
+            )
+            aux.append((hitrec["pos"], att_on.astype(jnp.float32)))
         live_hit = hit & alive
         lh = live_hit.astype(jnp.float32)
         rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
@@ -95,10 +104,13 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth):
         o = planar.where_p(hit, hitrec["pos"], o)
         d = planar.where_p(hit, planar.normalize_p(bounce_dir), d)
     missed = (~alive).astype(jnp.float32)
+    if with_aux:
+        return rad, d, thru, missed, first_n, first_t, tuple(hit_idx), tuple(aux)
     return rad, d, thru, missed, first_n, first_t
 
 
-def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
+def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
+                    with_aux=False):
     from cpppathtracer_tpu.ops.fast import _pick_tile
     from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
         build_geom_mxu,
@@ -125,14 +137,16 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
     geom = sg(build_geom_rows(gs))
     gmx = sg(build_geom_mxu(gs))
     ts, trt = build_tables_T(gs)
-    rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx = (
+    rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx, aux = (
         pallas_mega_trace(
             o_in, d_in, pix_in, samp_in, sg(jnp.asarray(seed, jnp.int32)),
             geom, gmx, sg(ts), sg(trt),
             counts=gs.counts, depth=depth, tile=tile, interpret=interpret,
+            with_aux=with_aux,
         )
     )
     sl = lambda a: a[:r] if r_pad != r else a
+    hit_out = tuple(sl(h) for h in hit_idx)
     out = (
         tuple(sl(a) for a in rad),
         tuple(sl(a) for a in miss_dir),
@@ -141,32 +155,42 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
         tuple(sl(a) for a in first_n),
         sl(first_t),
     )
-    return out, tuple(sl(h) for h in hit_idx)
+    if with_aux:
+        aux_out = tuple(
+            (tuple(sl(c) for c in pos), sl(att)) for pos, att in aux
+        )
+        out = out + (hit_out, aux_out)
+    return out, hit_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def mega_sample(gs, camera, pixel_idx, sample_idx, seed, depth, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def mega_sample(gs, camera, pixel_idx, sample_idx, seed, depth,
+                interpret=False, with_aux=False):
     """One integrator sample via the megakernel.
 
     Returns planar (rad vec3, miss_dir vec3, miss_thru vec3,
     missed f32[R], first_n vec3, first_t f32[R]); the sky epilogue is the
     caller's (it needs the texture gather, which stays in XLA).
+    With `with_aux`, additionally returns (hit_idx planes i32,
+    per-bounce (pos vec3, att f32[R])) — the textured-albedo epilogue's
+    inputs (integrator.py); hit/att carry no gradient, pos does.
     Differentiable w.r.t. `gs` (scene tables) and `camera`.
     """
     out, _ = _kernel_forward(
-        gs, camera, pixel_idx, sample_idx, seed, depth, interpret
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux
     )
     return out
 
 
-def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret):
+def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
+              with_aux):
     out, hit_idx = _kernel_forward(
-        gs, camera, pixel_idx, sample_idx, seed, depth, interpret
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux
     )
     return out, (gs, camera, pixel_idx, sample_idx, seed, hit_idx)
 
 
-def _mega_bwd(depth, interpret, res, ct):
+def _mega_bwd(depth, interpret, with_aux, res, ct):
     gs, camera, pixel_idx, sample_idx, seed, hit_idx = res
 
     force = os.environ.get("POCA_MEGA_BWD", "")
@@ -178,13 +202,14 @@ def _mega_bwd(depth, interpret, res, ct):
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return _mega_bwd_pallas(
-            depth, interpret, gs, camera, pixel_idx, sample_idx, seed,
-            hit_idx, ct,
+            depth, interpret, with_aux, gs, camera, pixel_idx, sample_idx,
+            seed, hit_idx, ct,
         )
 
     def replay(gs_, camera_):
         return _replay_outputs(
-            gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth
+            gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth,
+            with_aux=with_aux,
         )
 
     _, vjp_fn = jax.vjp(replay, gs, camera)
@@ -198,16 +223,22 @@ def _mega_bwd(depth, interpret, res, ct):
     )
 
 
-def _mega_bwd_pallas(depth, interpret, gs, camera, pixel_idx, sample_idx,
-                     seed, hit_idx, ct):
-    """Backward via the fused Pallas VJP kernel
+def _mega_bwd_pallas(depth, interpret, with_aux, gs, camera, pixel_idx,
+                     sample_idx, seed, hit_idx, ct):
+    """Backward via the fused Pallas VJP kernels
     (ops/pallas/mega_bwd_kernel.py): the whole replay-and-cotangent chain
     runs in VMEM; only the tiny camera.ray_gen and table-repack VJPs stay
     in XLA."""
     from cpppathtracer_tpu.ops.fast import _pick_tile
     from cpppathtracer_tpu.ops.pallas.mega_bwd_kernel import pallas_mega_bwd
 
-    ct_rad, ct_md, ct_mt, _ct_missed, ct_fn, ct_ft = ct
+    if with_aux:
+        (ct_rad, ct_md, ct_mt, _ct_missed, ct_fn, ct_ft,
+         _ct_hit, ct_aux) = ct
+        ct_pos = [c[0] for c in ct_aux]  # per-bounce vec3 (ct_att == 0)
+    else:
+        ct_rad, ct_md, ct_mt, _ct_missed, ct_fn, ct_ft = ct
+        ct_pos = None
     r = pixel_idx.shape[0]
     samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), pixel_idx.shape)
 
@@ -232,11 +263,15 @@ def _mega_bwd_pallas(depth, interpret, gs, camera, pixel_idx, sample_idx,
         tuple(padf(c) for c in ct_fn),
         padf(ct_ft),
     )
+    ct_pos_in = (
+        None if ct_pos is None
+        else [tuple(padf(c) for c in p) for p in ct_pos]
+    )
     ct_ts, ct_trt, ct_o, ct_d = pallas_mega_bwd(
         tuple(padf(c) for c in o), tuple(padf(c) for c in d),
         padf(pixel_idx), padf(samp), sg(jnp.asarray(seed, jnp.int32)),
         sg(ts), sg(trt), tuple(padm(h) for h in hit_idx), ct_in,
-        depth=depth, tile=tile, interpret=interpret,
+        ct_pos=ct_pos_in, depth=depth, tile=tile, interpret=interpret,
     )
     sl = lambda a: a[:r] if r_pad != r else a
     cam_bar = cam_vjp(

@@ -77,7 +77,8 @@ def _uniforms3_dyn(seed_u32, pix, samp, ctr_u32):
     return to_f(a), to_f(b), to_f(c)
 
 
-def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32, ctr_u32):
+def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32,
+                   ctr_u32, with_aux=False):
     """One bounce of the replay chain, differentiable w.r.t. carry+tables.
 
     Mirrors ops/mega.py::_replay_outputs' loop body exactly (which
@@ -135,7 +136,15 @@ def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32, ctr_u32):
     alive = alive & hit
     o = planar.where_p(hit, pos, o)
     d = planar.where_p(hit, planar.normalize_p(bounce_dir), d)
-    return (o, d, thru, rad, alive, first_n, first_t)
+    out = (o, d, thru, rad, alive, first_n, first_t)
+    if with_aux:
+        from cpppathtracer_tpu.types import MaterialType
+
+        att_on = (mats["mat_type"] == MaterialType.GLASS) | (
+            planar.dot_p(normal, bounce_dir) > 0.0
+        )
+        return out, (pos, att_on.astype(jnp.float32))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +240,7 @@ def _float0(x):
 
 
 def _bounce_bwd_kernel(
-    is_first,
+    is_first, with_aux,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     th0_ref, th1_ref, th2_ref, alive_ref,
     enc_ref, pix_ref, samp_ref, seed_ref, ctr_ref, ts_ref, tr_ref,
@@ -240,11 +249,15 @@ def _bounce_bwd_kernel(
     cso0_ref, cso1_ref, cso2_ref,  # swept ct_o in
     csd0_ref, csd1_ref, csd2_ref,  # swept ct_d in
     cst0_ref, cst1_ref, cst2_ref,  # swept ct_thru in
-    # outputs
-    ct_ts_ref, ct_tr_ref,
-    oo0_ref, oo1_ref, oo2_ref, od0_ref, od1_ref, od2_ref,
-    ot0_ref, ot1_ref, ot2_ref,
+    *rest_refs,
 ):
+    # rest_refs: [ct_pos x3 if with_aux] then outputs (ct_ts, ct_trt,
+    # ct_o x3, ct_d x3, ct_thru x3)
+    if with_aux:
+        ctp_refs, rest_refs = rest_refs[:3], rest_refs[3:]
+    (ct_ts_ref, ct_tr_ref,
+     oo0_ref, oo1_ref, oo2_ref, od0_ref, od1_ref, od2_ref,
+     ot0_ref, ot1_ref, ot2_ref) = rest_refs
     o = (ox_ref[...], oy_ref[...], oz_ref[...])
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     thru = (th0_ref[...], th1_ref[...], th2_ref[...])
@@ -262,7 +275,8 @@ def _bounce_bwd_kernel(
 
     def fn(carry, ts_, trt_):
         return _replay_bounce(
-            is_first, carry, ts_, trt_, enc, pix, samp, seed_u32, ctr_u32
+            is_first, carry, ts_, trt_, enc, pix, samp, seed_u32, ctr_u32,
+            with_aux=with_aux,
         )
 
     # rad / first_n / first_t primal values never enter cotangents
@@ -278,6 +292,11 @@ def _bounce_bwd_kernel(
         (ctn0_ref[...], ctn1_ref[...], ctn2_ref[...]),
         ctft_ref[...],
     )
+    if with_aux:
+        ct_out = (
+            ct_out,
+            ((ctp_refs[0][...], ctp_refs[1][...], ctp_refs[2][...]), zero),
+        )
     ct_carry, ct_ts, ct_trt = vjp_fn(ct_out)
     (ct_o, ct_d, ct_thru, _ct_rad, _ct_alive, _ct_fn, _ct_ft) = ct_carry
 
@@ -305,19 +324,21 @@ def _bounce_bwd_kernel(
 )
 def pallas_bounce_bwd(
     carry, enc, pixel_idx, sample_idx, seed, ctr, ts, trt,
-    ct_rad, ct_fn, ct_ft, ct_o, ct_d, ct_thru,
+    ct_rad, ct_fn, ct_ft, ct_o, ct_d, ct_thru, ct_pos=None,
     *, is_first, tile=1024, interpret=False,
 ):
     """VJP of one replay bounce.
 
     carry: (o v3, d v3, thru v3, alive f32[R]) at this bounce's entry.
     ct_o/ct_d/ct_thru: swept output-side cotangents; ct_rad/ct_fn/ct_ft:
-    loop-invariant cotangents.  Returns (ct_ts, ct_trt, ct_o', ct_d',
-    ct_thru') — the entry-side sweep cotangents plus this bounce's table
-    contribution.
+    loop-invariant cotangents; ct_pos: this bounce's hit-position
+    cotangent (textured-albedo epilogue), or None.  Returns (ct_ts,
+    ct_trt, ct_o', ct_d', ct_thru') — the entry-side sweep cotangents
+    plus this bounce's table contribution.
     """
     r = pixel_idx.shape[0]
     assert r % tile == 0, (r, tile)
+    with_aux = ct_pos is not None
     o, d, thru, alive = carry
     spec1d = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -325,14 +346,15 @@ def pallas_bounce_bwd(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     f1 = jax.ShapeDtypeStruct((r,), jnp.float32)
+    aux_in = list(ct_pos) if with_aux else []
     outs = pl.pallas_call(
-        functools.partial(_bounce_bwd_kernel, is_first),
+        functools.partial(_bounce_bwd_kernel, is_first, with_aux),
         grid=(r // tile,),
         in_specs=[spec1d] * 10
         + [spec1d] * 3  # enc, pix, samp
         + [smem, smem]
         + [whole(ts.shape), whole(trt.shape)]
-        + [spec1d] * 16,
+        + [spec1d] * (16 + len(aux_in)),
         out_specs=[whole(ts.shape), whole(trt.shape)] + [spec1d] * 9,
         out_shape=[
             jax.ShapeDtypeStruct(ts.shape, jnp.float32),
@@ -351,6 +373,7 @@ def pallas_bounce_bwd(
         ct_o[0], ct_o[1], ct_o[2],
         ct_d[0], ct_d[1], ct_d[2],
         ct_thru[0], ct_thru[1], ct_thru[2],
+        *aux_in,
     )
     ct_ts, ct_trt = outs[0], outs[1]
     return (
@@ -361,7 +384,7 @@ def pallas_bounce_bwd(
 
 def pallas_mega_bwd(
     o, d, pixel_idx, sample_idx, seed, ts, trt, hit_idx, ct,
-    *, depth, tile=1024, interpret=False,
+    *, ct_pos=None, depth, tile=1024, interpret=False,
 ):
     """Fused VJP of the megakernel replay: carry-dump kernel + `depth`
     bounce-VJP kernels chained in reverse.
@@ -370,7 +393,9 @@ def pallas_mega_bwd(
     transposed padded scene tables (build_tables_T), the sign-encoded
     winner planes (pads carry -1), and the output cotangents
     (rad v3, miss_dir v3, miss_thru v3, first_n v3, first_t f32[R]) —
-    `missed` has no gradient and is not taken.
+    `missed` has no gradient and is not taken.  `ct_pos` optionally
+    carries the per-bounce hit-position cotangents of the textured-
+    albedo epilogue.
 
     Returns (ct_ts, ct_trt, ct_o v3, ct_d v3).
     """
@@ -394,6 +419,7 @@ def pallas_mega_bwd(
         ct_ts_b, ct_trt_b, ct_o, ct_d, ct_thru = pallas_bounce_bwd(
             carries[b], hit_idx[b], pixel_idx, sample_idx, seed, 1 + b,
             ts, trt, ct_rad, ct_fn, ct_ft, ct_o, ct_d, ct_thru,
+            None if ct_pos is None else ct_pos[b],
             is_first=(b == 0), tile=tile, interpret=interpret,
         )
         ct_ts = ct_ts + ct_ts_b

@@ -48,7 +48,11 @@ from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
     _ceil8,
     _mxu_best_index,
 )
-from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX
+from cpppathtracer_tpu.types import (
+    BOUNCE_RAY_TMIN,
+    DEFAULT_RAY_TMAX,
+    MaterialType,
+)
 from cpppathtracer_tpu.utils.rng import _pcg4d_jnp
 
 _INF = float(np.float32(DEFAULT_RAY_TMAX))
@@ -71,7 +75,7 @@ def _uniforms3(seed_u32, pix, samp, ctr):
 
 
 def _mega_kernel(
-    counts, depth, n_pad,
+    counts, depth, n_pad, with_aux,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pix_ref, samp_ref, seed_ref,
     geom_ref, gmx_ref, ts_ref, tr_ref,
@@ -82,6 +86,12 @@ def _mega_kernel(
     fn0_ref, fn1_ref, fn2_ref, ft_ref,
     *hit_refs,
 ):
+    # with_aux: hit_refs is followed by depth x (px, py, pz, att) planes —
+    # per-bounce hit positions + attenuation-on masks for the textured-
+    # albedo epilogue (ops/mega.py docstring).
+    aux_refs = ()
+    if with_aux:
+        hit_refs, aux_refs = hit_refs[:depth], hit_refs[depth:]
     tr = ox_ref.shape[0]
     o = (ox_ref[...], oy_ref[...], oz_ref[...])  # 1D f32[TR]
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
@@ -156,6 +166,18 @@ def _mega_kernel(
             mats, normal, d, u1, u2, u3, score_grad=False
         )
 
+        if with_aux:
+            # hit position + attenuation-on mask (horizon check; glass
+            # always attenuates, material.cu:140) for the texture epilogue
+            att_on = (mats["mat_type"] == MaterialType.GLASS) | (
+                planar.dot_p(normal, bounce_dir) > 0.0
+            )
+            base = b * 4
+            aux_refs[base][...] = pos[0]
+            aux_refs[base + 1][...] = pos[1]
+            aux_refs[base + 2][...] = pos[2]
+            aux_refs[base + 3][...] = att_on.astype(jnp.float32)
+
         live_hit = hit & alive
         lh = live_hit.astype(jnp.float32)
         rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
@@ -201,22 +223,25 @@ def build_tables_T(gs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("counts", "depth", "tile", "interpret")
+    jax.jit,
+    static_argnames=("counts", "depth", "tile", "interpret", "with_aux"),
 )
 def pallas_mega_trace(
     o, d, pixel_idx, sample_idx, seed, geom, gmx, ts, trt,
-    *, counts, depth, tile=1024, interpret=False,
+    *, counts, depth, tile=1024, interpret=False, with_aux=False,
 ):
     """Run the full bounce loop for planar rays (o, d tuples of f32[R]).
 
     Returns (rad vec3, miss_dir vec3, miss_thru vec3, missed f32[R],
-    first_n vec3, first_t f32[R], hit_idx: tuple of depth i32[R]).  R
-    must be a multiple of `tile` (caller pads).  All inputs should be
-    stop_gradient'ed — gradients flow through ops/mega.py's replay.
-    The winner-index planes are returned SEPARATELY (not stacked
-    [depth, R]) so the backward replay consumes flat 1D arrays — a
-    stacked residual drags 1/8-width T(1,128) layouts through the whole
-    replayed chain (profiled ~2x on the backward).
+    first_n vec3, first_t f32[R], hit_idx: tuple of depth i32[R],
+    aux).  With `with_aux`, aux is a tuple of depth (pos vec3,
+    att f32[R]) per-bounce records for the textured-albedo epilogue;
+    otherwise None.  R must be a multiple of `tile` (caller pads).  All
+    inputs should be stop_gradient'ed — gradients flow through
+    ops/mega.py's replay.  The winner-index planes are returned
+    SEPARATELY (not stacked [depth, R]) so the backward replay consumes
+    flat 1D arrays — a stacked residual drags 1/8-width T(1,128) layouts
+    through the whole replayed chain (profiled ~2x on the backward).
     """
     r = pixel_idx.shape[0]
     assert r % tile == 0, (r, tile)
@@ -229,8 +254,9 @@ def pallas_mega_trace(
     )
     f1 = jax.ShapeDtypeStruct((r,), jnp.float32)
     i1 = jax.ShapeDtypeStruct((r,), jnp.int32)
+    n_aux = 4 * depth if with_aux else 0
     outs = pl.pallas_call(
-        functools.partial(_mega_kernel, counts, depth, n_pad),
+        functools.partial(_mega_kernel, counts, depth, n_pad, with_aux),
         grid=(r // tile,),
         in_specs=[spec1d] * 8
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -240,8 +266,8 @@ def pallas_mega_trace(
             whole(ts.shape),
             whole(trt.shape),
         ],
-        out_specs=[spec1d] * (14 + depth),
-        out_shape=[f1] * 14 + [i1] * depth,
+        out_specs=[spec1d] * (14 + depth + n_aux),
+        out_shape=[f1] * 14 + [i1] * depth + [f1] * n_aux,
         interpret=interpret,
     )(
         o[0], o[1], o[2], d[0], d[1], d[2],
@@ -255,5 +281,12 @@ def pallas_mega_trace(
     missed = outs[9]
     first_n = tuple(outs[10:13])
     first_t = outs[13]
-    hit_idx = tuple(outs[14:])
-    return rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx
+    hit_idx = tuple(outs[14 : 14 + depth])
+    aux = None
+    if with_aux:
+        flat = outs[14 + depth :]
+        aux = tuple(
+            (tuple(flat[b * 4 : b * 4 + 3]), flat[b * 4 + 3])
+            for b in range(depth)
+        )
+    return rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx, aux
