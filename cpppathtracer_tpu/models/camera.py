@@ -110,6 +110,44 @@ class Camera:
             tmax=zero + jnp.float32(DEFAULT_RAY_TMAX),
         )
 
+    def ray_gen_planar(self, pixel_idx, sample_idx, seed):
+        """Planar-layout twin of :func:`ray_gen`: returns (o, d) as tuples
+        of three flat f32[R] planes.
+
+        Same per-component arithmetic as ray_gen (scalar basis components
+        broadcast against flat planes), so values are bit-identical — but
+        neither the forward nor its VJP ever materializes an [R, 1] or
+        [R, 3] array.  This matters for the fused Pallas backward
+        (ops/mega.py): a standalone ray_gen VJP program lays its
+        [R, 1] broadcast-transpose intermediates out as {T(1,128)} —
+        1/128th-width vector ops, profiled at ~40 ms/sample at 1024^2 on
+        v5e — while the planar form is pure full-width [R] math.
+        """
+        u, v, _w, top_left, horizontal, vertical = self.basis()
+        x = (pixel_idx % self.width).astype(jnp.float32)
+        y = (pixel_idx // self.width).astype(jnp.float32)
+        r1, r2, _r3, _r4 = prng.uniforms4(
+            seed, pixel_idx, sample_idx, prng.CTR_RAYGEN
+        )
+        rd_x = self.lens_radius * r1
+        rd_y = self.lens_radius * r2
+        dx = x / jnp.float32(self.width)
+        dy = y / jnp.float32(self.height)
+        o = tuple(
+            self.origin[c] + (rd_x * u[c] + rd_y * v[c]) for c in range(3)
+        )
+        t_rel = tuple(
+            top_left[c] + dx * horizontal[c] + dy * vertical[c]
+            - self.origin[c] - (rd_x * u[c] + rd_y * v[c])
+            for c in range(3)
+        )
+        n2 = t_rel[0] * t_rel[0] + t_rel[1] * t_rel[1] + t_rel[2] * t_rel[2]
+        from cpppathtracer_tpu.ops.mathx import EPS
+
+        inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.maximum(n2, EPS)), 0.0)
+        d = tuple(t * inv for t in t_rel)
+        return o, d
+
     # ---------------- interactive motion (motional_camera.cu:76-168) --------
     # Each op returns a NEW camera; the caller decides when to reset the
     # progressive accumulator (the reference's Refresh()).

@@ -54,14 +54,12 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
     winner indices.  Shares planar.gather_epilogue_p / planar.shade_p with
     both the kernel (inlined) and the non-mega integrator body, so the
     differentiated math is identical."""
-    rays = camera.ray_gen(pixel_idx, sample_idx, seed)
-    o = planar.unstack_v3(rays.origin)
-    d = planar.unstack_v3(rays.dir)
-    zero1 = rays.tmin * 0.0
+    o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
+    zero1 = o[0] * 0.0
     one1 = zero1 + 1.0
     thru = (one1, one1, one1)
     rad = (zero1, zero1, zero1)
-    alive = rays.tmax > 0.0
+    alive = zero1 < 1.0
     first_n = (zero1, zero1, zero1)
     first_t = zero1
     tmax = zero1 + jnp.float32(DEFAULT_RAY_TMAX)
@@ -121,9 +119,7 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     samp = jnp.broadcast_to(
         jnp.asarray(sample_idx, jnp.int32), pixel_idx.shape
     )
-    rays = camera.ray_gen(pixel_idx, sample_idx, seed)
-    o = planar.unstack_v3(rays.origin)
-    d = planar.unstack_v3(rays.dir)
+    o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
 
     tile = min(_MEGA_TILE, _pick_tile(r))
     r_pad = -(-r // tile) * tile
@@ -193,13 +189,16 @@ def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
 def _mega_bwd(depth, interpret, with_aux, res, ct):
     gs, camera, pixel_idx, sample_idx, seed, hit_idx = res
 
+    # Default: the plain-XLA replay.  Round-3 profiling showed the
+    # backward is COMPUTE-bound (21.9 ms/sample vs 27.7 ms forward at
+    # 1024^2 on v5e), and XLA's globally-fused reverse sweep is already
+    # near the op-count floor; the Pallas per-bounce-VJP kernels
+    # (ops/pallas/mega_bwd_kernel.py) re-run each bounce's forward
+    # before transposing it and measured 43 ms/sample (kernel chain) —
+    # kept as an env-gated alternative (POCA_MEGA_BWD=pallas), verified
+    # equivalent in tests, not yet faster.
     force = os.environ.get("POCA_MEGA_BWD", "")
-    if force in ("pallas", "xla"):
-        use_pallas = force == "pallas"
-    else:
-        # default: fused kernel on real TPU; the XLA replay elsewhere
-        # (interpret-mode VJP is correct but slow — opt in via env).
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = force == "pallas"
     if use_pallas:
         return _mega_bwd_pallas(
             depth, interpret, with_aux, gs, camera, pixel_idx, sample_idx,
@@ -243,8 +242,10 @@ def _mega_bwd_pallas(depth, interpret, with_aux, gs, camera, pixel_idx,
     samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32), pixel_idx.shape)
 
     def rays_of(cam):
-        rays = cam.ray_gen(pixel_idx, sample_idx, seed)
-        return planar.unstack_v3(rays.origin), planar.unstack_v3(rays.dir)
+        # planar form: the standalone vjp of the row-major ray_gen lays
+        # its [R,1] broadcast transposes out as {T(1,128)} — 1/128-width
+        # (see Camera.ray_gen_planar docstring)
+        return cam.ray_gen_planar(pixel_idx, sample_idx, seed)
 
     (o, d), cam_vjp = jax.vjp(rays_of, camera)
     (ts, trt), tab_vjp = jax.vjp(build_tables_T, gs)

