@@ -143,10 +143,12 @@ def _candidates_grouped(gs: GroupedScene, rays: Rays):
         c_s = gs.center[:n_s]  # [Ns,3]
         r_s = gs.radius[:n_s]
         oc = jax.lax.dot_general(
-            o, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            o, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
         )  # [R,Ns]
         dc = jax.lax.dot_general(
-            d, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            d, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
         )
         od = jnp.sum(o * d, -1, keepdims=True)
         oo = jnp.sum(o * o, -1, keepdims=True)
@@ -201,10 +203,12 @@ def _candidates_grouped(gs: GroupedScene, rays: Rays):
         d2 = jnp.stack([d[:, 0], d[:, 2]], -1)
         c2 = jnp.stack([c_c[:, 0], c_c[:, 2]], -1)  # [Nc,2]
         oc2 = jax.lax.dot_general(
-            o2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            o2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
         )
         dc2 = jax.lax.dot_general(
-            d2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            d2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
         )
         od2 = jnp.sum(o2 * d2, -1, keepdims=True)
         oo2 = jnp.sum(o2 * o2, -1, keepdims=True)
@@ -260,6 +264,7 @@ def _winner_grouped_T(gs: GroupedScene, rays: Rays):
         return jax.lax.dot_general(
             cols, vecs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
 
     best_t = jnp.full((r_n,), _INF)
@@ -427,6 +432,7 @@ def _gather_epilogue(gs: GroupedScene, rays: Rays, gidx):
     dot = lambda tbl: jax.lax.dot_general(
         onehot, tbl[:na], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     rec = dot(gs.table_s)  # [R, F_S]
     rec_r = dot(gs.table_r)  # [R, F_R]

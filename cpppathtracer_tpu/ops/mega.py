@@ -121,7 +121,8 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     )
     o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
 
-    tile = min(_MEGA_TILE, _pick_tile(r))
+    mega_tile = int(os.environ.get("POCA_MEGA_TILE", "0")) or _MEGA_TILE
+    tile = min(mega_tile, _pick_tile(r))
     r_pad = -(-r // tile) * tile
     sg = jax.lax.stop_gradient
     padf = lambda a: jnp.pad(sg(a), (0, r_pad - r)) if r_pad != r else sg(a)

@@ -117,10 +117,12 @@ def _replay_bounce(is_first, carry, ts, trt, enc, pix, samp, seed_u32,
     rec = jax.lax.dot_general(
         ts, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [F_S, TR]
     rec_r = jax.lax.dot_general(
         trt, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [F_R, TR]
     center = (rec[0], rec[1], rec[2])
     prim_type = rec[6].astype(jnp.int32)

@@ -130,10 +130,12 @@ def _mega_kernel(
         rec = jax.lax.dot_general(
             ts, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # [F_S, TR]
         rec_r = jax.lax.dot_general(
             trt, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # [F_R, TR]
 
         # everything per-ray from here on is flat 1D [TR]

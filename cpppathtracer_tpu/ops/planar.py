@@ -341,6 +341,7 @@ def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
     dot = lambda tbl: jax.lax.dot_general(
         tbl[:na].T, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # two tables so kd/emission cotangents stay separable from the
     # geometric/sampling chains (see ops/fast.py table layout comment)
