@@ -144,11 +144,11 @@ def _candidates_grouped(gs: GroupedScene, rays: Rays):
         r_s = gs.radius[:n_s]
         oc = jax.lax.dot_general(
             o, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
         )  # [R,Ns]
         dc = jax.lax.dot_general(
             d, c_s.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
         )
         od = jnp.sum(o * d, -1, keepdims=True)
         oo = jnp.sum(o * o, -1, keepdims=True)
@@ -204,11 +204,11 @@ def _candidates_grouped(gs: GroupedScene, rays: Rays):
         c2 = jnp.stack([c_c[:, 0], c_c[:, 2]], -1)  # [Nc,2]
         oc2 = jax.lax.dot_general(
             o2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
         )
         dc2 = jax.lax.dot_general(
             d2, c2.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=jax.lax.Precision.HIGH
         )
         od2 = jnp.sum(o2 * d2, -1, keepdims=True)
         oo2 = jnp.sum(o2 * o2, -1, keepdims=True)
@@ -264,7 +264,7 @@ def _winner_grouped_T(gs: GroupedScene, rays: Rays):
         return jax.lax.dot_general(
             cols, vecs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         )
 
     best_t = jnp.full((r_n,), _INF)
