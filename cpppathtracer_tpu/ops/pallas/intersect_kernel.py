@@ -241,7 +241,9 @@ def _mxu_best_index(counts, ox, oy, oz, dx, dy, dz, tmin, tmax, geom, gmx):
     bc = jax.lax.dot_general(
         gmx, rm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        # Mosaic's Pallas dot lowering supports only DEFAULT/HIGHEST —
+        # Precision.HIGH raises NotImplementedError at compile (r3 regression).
+        precision=jax.lax.Precision.HIGHEST,
     )  # [M, TR]: [b_s | c_s | b2_c | c2_c] blocks, 8-row aligned
 
     def combine(best_t, best_i, t_grp, n_real, base):
