@@ -545,9 +545,17 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
             sg = jax.lax.stop_gradient
             if r_pad != r:
                 pad = lambda a: jnp.pad(a, (0, r_pad - r))
+                # pad tmax with a NEGATIVE sentinel: zero-padded rays have
+                # d=(0,0,0) (slab-unconstrained on every axis), so with
+                # tmax=0 the pad lanes overlap every node and the last
+                # tile walks the whole tree; lo <= best_t < 0 can never
+                # hold, so sentinel lanes skip straight to escape.
+                padt = lambda a: jnp.pad(
+                    a, (0, r_pad - r), constant_values=-DEFAULT_RAY_TMAX
+                )
                 o_in = tuple(pad(sg(c)) for c in o)
                 d_in = tuple(pad(sg(c)) for c in d)
-                tmin_in, tmax_in = pad(sg(tmin)), pad(sg(tmax))
+                tmin_in, tmax_in = pad(sg(tmin)), padt(sg(tmax))
             else:
                 o_in = tuple(sg(c) for c in o)
                 d_in = tuple(sg(c) for c in d)

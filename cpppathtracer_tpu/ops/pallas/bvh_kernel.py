@@ -8,10 +8,12 @@ walk is shared by a whole ray tile:
 
   node = 0
   while node < M:
-      overlap[TILE] = slab(node AABB, rays, window (tmin, best_t))
-      if leaf(node):  test its K objects against all lanes (vector math),
-                      shrink best_t (the reference's ray.tmax shrink)
-      node = (any(overlap) and internal) ? node+1 : escape(node)
+      # inner scalar walk: slab-test nodes, descend on overlap, skip via
+      # escape pointers, stop at the next any-lane-overlapping LEAF
+      while internal(node) or not overlap(node): advance(node)
+      test the leaf's K objects against all lanes (vector math),
+      shrink best_t (the reference's ray.tmax shrink)
+      node = escape(node)
 
 Node metadata reads are UNIFORM scalars (SMEM — the Pallas
 scalar-memory space), all per-ray work is full-width VPU vector math,
@@ -137,6 +139,16 @@ def _bvh_kernel(
     meta_ref, aabb_ref, objs_ref,
     best_i_ref,
 ):
+    # TWO-LEVEL walk (no `lax.cond`): an inner scalar-carry while advances
+    # through internal/non-overlapping nodes with slab tests only, stopping
+    # at the next any-lane-overlapping LEAF; the outer body then evaluates
+    # that leaf's K candidates unconditionally.  Leaf math runs exactly
+    # once per overlapping leaf — strictly less work than a single-level
+    # loop — and, critically, Mosaic's layout inference crashes
+    # (`Check failed: arr.size() >= layout_rank`, observed on v5e) when
+    # values derived from a dynamically-sliced VMEM block flow out of a
+    # `lax.cond` inside a `lax.while_loop`; unconditional leaf math inside
+    # the loop body lowers fine.
     o = (ox_ref[...], oy_ref[...], oz_ref[...])
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     tmin = tmin_ref[...]
@@ -148,20 +160,14 @@ def _bvh_kernel(
     inv_d = tuple(1.0 / jnp.where(c == 0.0, 1.0, c) for c in d)
     dz_mask = tuple(c == 0.0 for c in d)
 
-    def body(state):
-        node, best_t, best_i = state
-        mnx = aabb_ref[node, 0]
-        mny = aabb_ref[node, 1]
-        mnz = aabb_ref[node, 2]
-        mxx = aabb_ref[node, 3]
-        mxy = aabb_ref[node, 4]
-        mxz = aabb_ref[node, 5]
-        esc = meta_ref[node, 0]
-        leaf = meta_ref[node, 1]
-
+    def slab_meta(node, best_t):
+        """(any-lane overlap, is_leaf, escape) for one node (uniform
+        scalar SMEM reads + full-width slab test)."""
         lo = jnp.full((tr,), -2.0 * _INF)
         hi = jnp.full((tr,), 2.0 * _INF)
-        for ax, (mn, mx) in enumerate(((mnx, mxx), (mny, mxy), (mnz, mxz))):
+        for ax in range(3):
+            mn = aabb_ref[node, ax]
+            mx = aabb_ref[node, 3 + ax]
             t0 = (mn - o[ax]) * inv_d[ax]
             t1 = (mx - o[ax]) * inv_d[ax]
             alo = jnp.minimum(t0, t1)
@@ -171,36 +177,47 @@ def _bvh_kernel(
             lo = jnp.maximum(lo, alo)
             hi = jnp.minimum(hi, ahi)
         overlap = (lo <= hi) & (lo <= best_t) & (hi >= tmin)
-        hit_any = jnp.any(overlap)
-        is_leaf = leaf >= 0
+        return jnp.any(overlap), meta_ref[node, 1] >= 0, meta_ref[node, 0]
 
-        def leaf_fn(args):
-            best_t, best_i = args
-            rows = objs_ref[pl.ds(leaf * k, k), :]  # [K, 8]
-            t_cand = _leaf_candidates(rows, o, d, tmin, best_t)  # [K, TR]
-            t_min = jnp.min(t_cand, axis=0)
-            gidx = rows[:, 7:8].astype(jnp.int32)  # [K, 1]
-            win = jnp.min(
-                jnp.where(t_cand == t_min[None, :], gidx, jnp.int32(2**30)),
-                axis=0,
-            )
-            better = t_min < best_t
-            return (
-                jnp.where(better, t_min, best_t),
-                jnp.where(better, win, best_i),
-            )
+    def outer_body(state):
+        node, best_t, best_i = state
 
-        best_t, best_i = jax.lax.cond(
-            hit_any & is_leaf, leaf_fn, lambda a: a, (best_t, best_i)
+        # inner: skip to the next overlapping leaf (or past the end).
+        # Preorder position strictly increases (skip pointers point
+        # forward), so this terminates.
+        def ibody(s):
+            nd, _ = s
+            hit_any, is_leaf, esc = slab_meta(nd, best_t)
+            stop_here = hit_any & is_leaf
+            nxt = jnp.where(stop_here, nd, jnp.where(hit_any, nd + 1, esc))
+            return nxt, stop_here | (nxt >= m)
+
+        node, _ = jax.lax.while_loop(
+            lambda s: ~s[1], ibody, (node, node >= m)
         )
-        nxt = jnp.where(hit_any & ~is_leaf, node + 1, esc)
-        return nxt, best_t, best_i
 
-    def cond(state):
-        return state[0] < m
+        # unconditional leaf evaluation (node < m implies an overlapping
+        # leaf; clamp reads so the node==m exit path stays in bounds)
+        nd_safe = jnp.minimum(node, m - 1)
+        leaf = jnp.maximum(meta_ref[nd_safe, 1], 0)
+        valid = node < m
+        rows = objs_ref[pl.ds(leaf * k, k), :]  # [K, 8]
+        t_cand = _leaf_candidates(rows, o, d, tmin, best_t)  # [K, TR]
+        t_min = jnp.min(t_cand, axis=0)
+        gidx = rows[:, 7:8].astype(jnp.int32)  # [K, 1]
+        win = jnp.min(
+            jnp.where(t_cand == t_min[None, :], gidx, jnp.int32(2**30)),
+            axis=0,
+        )
+        better = (t_min < best_t) & valid
+        best_t = jnp.where(better, t_min, best_t)
+        best_i = jnp.where(better, win, best_i)
+        node = jnp.where(valid, meta_ref[nd_safe, 0], m)  # leaf's escape
+        return node, best_t, best_i
 
     _, _, best_i = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tmax0, jnp.zeros((tr,), jnp.int32))
+        lambda st: st[0] < m, outer_body,
+        (jnp.int32(0), tmax0, jnp.zeros((tr,), jnp.int32)),
     )
     best_i_ref[...] = best_i
 
