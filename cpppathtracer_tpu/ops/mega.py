@@ -134,14 +134,102 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     geom = sg(build_geom_rows(gs))
     gmx = sg(build_geom_mxu(gs))
     ts, trt = build_tables_T(gs)
-    rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx, aux = (
-        pallas_mega_trace(
-            o_in, d_in, pix_in, samp_in, sg(jnp.asarray(seed, jnp.int32)),
+
+    # Survivor compaction (the big forward lever): on the demo scene only
+    # ~20% of rays survive bounce 1 and ~9% survive bounce 2, but the
+    # survivors are scattered, so per-tile early-exit inside one kernel
+    # saves nothing.  Instead split the trace at bounce S: phase A runs
+    # bounces [0, S) for all rays, then the survivors are stably
+    # partitioned to the front (cumsum + scatter) and phase B runs
+    # bounces [S, depth) with whole-tile skip past the alive prefix
+    # (n_alive scalar in SMEM).  Per-ray RNG keys are (pixel, sample,
+    # bounce)-based, so radiance is bitwise invariant to the permutation;
+    # hit planes are unpermuted before returning, so the backward replay
+    # is completely unchanged.  POCA_MEGA_SPLIT sets S (0 disables).
+    # S=2 measured best on the demo scene (fwd 33.7 -> 20.4 ms/sample at
+    # 1024^2, v5e): alive fraction is 19.8% after bounce 1 but 8.8% after
+    # bounce 2, and the second bounce's full-width cost is cheaper than
+    # running bounces 2..7 on 2.25x more tiles.
+    split_env = os.environ.get("POCA_MEGA_SPLIT", "2")
+    split = int(split_env) if split_env.lstrip("-").isdigit() else 2
+    do_split = 0 < split and depth - split >= 2 and r_pad >= 4 * tile
+    seed_in = sg(jnp.asarray(seed, jnp.int32))
+    if do_split:
+        (rad_a, d_a, thru_a, missed_a, first_n, first_t, hit_a, aux_a,
+         o_a) = pallas_mega_trace(
+            o_in, d_in, pix_in, samp_in, seed_in,
             geom, gmx, sg(ts), sg(trt),
-            counts=gs.counts, depth=depth, tile=tile, interpret=interpret,
-            with_aux=with_aux,
+            counts=gs.counts, depth=split, tile=tile, interpret=interpret,
+            with_aux=with_aux, with_o=True,
         )
-    )
+        # Element gathers inside the spp scan cost ~9 ms per [1M] plane on
+        # v5e, but ONE lax.sort moving a dozen payload planes costs
+        # ~3 ms — so both the partition and its inverse are sorts.
+        dead_key = (missed_a > 0.0).astype(jnp.int32)
+        n_alive = r_pad - jnp.sum(dead_key)
+        src = jnp.arange(r_pad, dtype=jnp.int32)
+        sorted_in = jax.lax.sort(
+            (dead_key, src,
+             o_a[0], o_a[1], o_a[2], d_a[0], d_a[1], d_a[2],
+             thru_a[0], thru_a[1], thru_a[2], pix_in, samp_in),
+            num_keys=1, is_stable=True,
+        )
+        src_s = sorted_in[1]
+        o_s = tuple(sorted_in[2:5])
+        d_s = tuple(sorted_in[5:8])
+        thru_s = tuple(sorted_in[8:11])
+        pix_s, samp_s = sorted_in[11], sorted_in[12]
+        (rad_b, md_b, mt_b, missed_b, _fn_b, _ft_b, hit_b, aux_b) = (
+            pallas_mega_trace(
+                o_s, d_s, pix_s, samp_s, seed_in,
+                geom, gmx, sg(ts), sg(trt),
+                counts=gs.counts, depth=depth - split, tile=tile,
+                interpret=interpret, with_aux=with_aux,
+                start_bounce=split,
+                thru=thru_s, n_alive=n_alive,
+            )
+        )
+        # inverse permutation: sort phase-B outputs by original position
+        # (src_s is a permutation, so keys are unique)
+        aux_flat = ()
+        if with_aux:
+            aux_flat = tuple(
+                c for p, att in aux_b for c in (p[0], p[1], p[2], att)
+            )
+        inv = jax.lax.sort(
+            (src_s,) + tuple(rad_b) + tuple(md_b) + tuple(mt_b)
+            + (missed_b,) + tuple(hit_b) + aux_flat,
+            num_keys=1, is_stable=False,
+        )
+        nb = depth - split
+        rad_bu = inv[1:4]
+        md_bu = inv[4:7]
+        mt_bu = inv[7:10]
+        missed_bu = inv[10]
+        hit_bu = inv[11 : 11 + nb]
+        a_dead = missed_a > 0.0
+        sel = jnp.where
+        rad = tuple(rad_a[i] + rad_bu[i] for i in range(3))
+        miss_dir = tuple(sel(a_dead, d_a[i], md_bu[i]) for i in range(3))
+        miss_thru = tuple(sel(a_dead, thru_a[i], mt_bu[i]) for i in range(3))
+        missed = missed_a + missed_bu
+        hit_idx = hit_a + tuple(hit_bu)
+        aux = None
+        if with_aux:
+            af = inv[11 + nb :]
+            aux = aux_a + tuple(
+                ((af[b * 4], af[b * 4 + 1], af[b * 4 + 2]), af[b * 4 + 3])
+                for b in range(nb)
+            )
+    else:
+        rad, miss_dir, miss_thru, missed, first_n, first_t, hit_idx, aux = (
+            pallas_mega_trace(
+                o_in, d_in, pix_in, samp_in, seed_in,
+                geom, gmx, sg(ts), sg(trt),
+                counts=gs.counts, depth=depth, tile=tile, interpret=interpret,
+                with_aux=with_aux,
+            )
+        )
     sl = lambda a: a[:r] if r_pad != r else a
     hit_out = tuple(sl(h) for h in hit_idx)
     out = (
@@ -205,6 +293,22 @@ def _mega_bwd(depth, interpret, with_aux, res, ct):
             depth, interpret, with_aux, gs, camera, pixel_idx, sample_idx,
             seed, hit_idx, ct,
         )
+
+    # Layout firewall: under the spp `lax.scan`, per-sample residuals are
+    # stacked [spp, R] and the backward step dynamic-slices them back as
+    # [1, R] values with {T(1,128)} tiling — 1/8 VPU width — and XLA
+    # propagates that 2D shape/layout through the ENTIRE replayed chain
+    # (profiled: the r4 backward was a wall of [1,1048576]{T(1,128)}
+    # fusions).  Reshape to flat 1D behind an optimization_barrier so the
+    # replay consumes {T(1024)} full-width planes; the relayout copy is
+    # one 4 MB op per plane.
+    def flat(a):
+        if getattr(a, "dtype", None) == jax.dtypes.float0:
+            return a  # int-output cotangents (hit planes) are symbolic
+        return jax.lax.optimization_barrier(jnp.reshape(a, (-1,)))
+
+    hit_idx = tuple(flat(h) for h in hit_idx)
+    ct = jax.tree.map(flat, ct)
 
     def replay(gs_, camera_):
         return _replay_outputs(
