@@ -15,12 +15,23 @@ import time
 
 
 def _load_sky(path):
+    import os
+
     import jax.numpy as jnp
 
     from cpppathtracer_tpu.ops.texture import load_texture, procedural_sky
 
     if path:
         return jnp.asarray(load_texture(path))
+    # Default mirrors the reference's single hard-coded asset
+    # (`textures/sky.png`, path_tracer.cu:47): the shipped 1280x1280
+    # assets/sky.png, with the procedural generator as fallback.
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "sky.png",
+    )
+    if os.path.exists(default):
+        return jnp.asarray(load_texture(default))
     return jnp.asarray(procedural_sky(512, 512))
 
 

@@ -282,11 +282,11 @@ def _mega_tex_radiance(gs, tex_stack, hit_planes, aux, miss_p, missed,
     replayed in XLA with just O(depth) table takes + texture gathers —
     no winner search, no shade recompute.  Differentiable w.r.t. the
     scene tables, the textures (exact gathers) and, through the
-    hit-position cotangents, the geometry.  NOTE: this recurrence does
-    not re-apply the score-function surrogate weights (ops/bsdf.py) —
-    detached-branch (reflectivity / Fresnel-choice) gradients of
-    textured-scene radiance are pathwise-only, matching the pre-surrogate
-    estimator.
+    hit-position cotangents, the geometry.  The attenuation-on plane
+    `att` also carries the score-function surrogate weight (ops/bsdf.py;
+    value-exact 1.0, applied by the backward replay in ops/mega.py), so
+    detached-branch (reflectivity / Fresnel-choice) gradients use the
+    SAME estimator as the untextured and non-mega paths.
     """
     from cpppathtracer_tpu.ops.uv import surface_uv_p
 

@@ -30,9 +30,14 @@ import numpy as np
 
 from cpppathtracer_tpu.types import MaterialType, PrimitiveType
 
-# dense-vs-BVH crossover: below this object count the matmul-form dense
-# intersector wins on TPU (measured; scripts/bench_bvh.py refreshes it).
-AUTO_BVH_THRESHOLD = 192
+# Dense-vs-BVH auto-attach point.  Measured on v5e (BVH_CROSSOVER.json,
+# r4): the dense matmul-form winner beats the traversal kernel at EVERY
+# size it can compile (0.73-0.93x BVH/dense through 2048 objects) and
+# VMEM-OOMs at ~3k objects, where the [M, TR] candidate block exceeds
+# the 16 MB scoped limit.  The BVH kernel is the scalability path, not a
+# speedup — so auto-attach only where dense stops compiling.
+# scripts/bench_bvh.py refreshes the measurement.
+AUTO_BVH_THRESHOLD = 3072
 
 
 @jax.tree_util.register_dataclass
@@ -74,13 +79,22 @@ class Scene:
     def num_objects(self) -> int:
         return self.prim_type.shape[0]
 
-    def with_bvh(self, leaf_size: int = 8) -> "Scene":
+    def with_bvh(self, leaf_size: int | None = None) -> "Scene":
         """Attach skip-pointer BVH tables (host-side build — call OUTSIDE
-        jit, on concrete arrays; rebuild after geometry edits)."""
+        jit, on concrete arrays; rebuild after geometry edits).
+
+        leaf_size None = auto: grows with the scene so the node tables
+        (the traversal kernel keeps them in SMEM, 1 MB total on v5e)
+        stay ~<=512 nodes — a 4096-object scene at K=8 holds ~1k nodes
+        and overflows SMEM; K=16 halves it.  Leaves stay multiples of 8
+        for sublane alignment."""
         from cpppathtracer_tpu.ops.bvh import skip_bvh_tables
 
         if not self.type_perm:
             raise ValueError("with_bvh needs type-partition metadata")
+        if leaf_size is None:
+            k = -(-self.num_objects // 256)  # ceil(N / 256) objs per leaf
+            leaf_size = max(8, -(-k // 8) * 8)  # rounded up to sublane x8
         perm = np.asarray(self.type_perm, np.int32)
         g = lambda a: np.asarray(a)[perm]
         tables = skip_bvh_tables(
@@ -93,6 +107,55 @@ class Scene:
             bvh_aabb=jnp.asarray(tables["node_aabb"]),
             bvh_objs=jnp.asarray(tables["leaf_objs"]),
             bvh_dims=(int(tables["node_meta"].shape[0]), int(tables["leaf_size"])),
+        )
+
+    def refit_bvh(self) -> "Scene":
+        """Refit attached BVH tables to MOVED geometry without a rebuild
+        (host-side, concrete arrays; `SceneBVH::UpdateObject` semantics,
+        `cuSrc/bvh.cu:122-157`).  Topology is reused, so this is O(N)
+        instead of O(N log N) and winners match a full rebuild; call
+        after editing center/radius/y_pos/height on an animated scene."""
+        from cpppathtracer_tpu.ops.bvh import refit_skip_tables
+
+        if self.bvh_meta is None:
+            return self
+        perm = np.asarray(self.type_perm, np.int32)
+        g = lambda a: np.asarray(a)[perm]
+        aabb, objs = refit_skip_tables(
+            np.asarray(self.bvh_meta), np.asarray(self.bvh_aabb),
+            np.asarray(self.bvh_objs), self.bvh_dims[1],
+            g(self.center), g(self.radius), g(self.y_pos), g(self.height),
+            g(self.prim_type),
+        )
+        return dataclasses.replace(
+            self, bvh_aabb=jnp.asarray(aabb), bvh_objs=jnp.asarray(objs)
+        )
+
+    def with_geometry(self, **fields) -> "Scene":
+        """Edit geometry fields (center/radius/y_pos/height) SAFELY: when
+        BVH tables are attached they are refit to the new positions.
+        Editing geometry via bare `dataclasses.replace` on a BVH scene
+        leaves the traversal kernel reading stale AABBs/leaf rows —
+        silently wrong winners (see `bvh_is_stale`)."""
+        s = dataclasses.replace(self, **fields)
+        return s.refit_bvh()
+
+    def bvh_is_stale(self) -> bool:
+        """True when attached BVH leaf rows disagree with the current
+        geometry arrays (host-side check on concrete arrays; drivers call
+        this before rendering a BVH scene)."""
+        if self.bvh_meta is None:
+            return False
+        objs = np.asarray(self.bvh_objs)
+        valid = objs[:, 6] >= 0
+        oi = objs[:, 7].astype(np.int64)[valid]
+        perm = np.asarray(self.type_perm, np.int32)
+        g = lambda a: np.asarray(a)[perm]
+        return not (
+            np.array_equal(objs[valid, 0:3], g(self.center)[oi])
+            and np.array_equal(objs[valid, 3], g(self.radius)[oi])
+            and np.array_equal(objs[valid, 4], g(self.y_pos)[oi])
+            and np.array_equal(objs[valid, 5], g(self.height)[oi])
         )
 
     def material_params(self):
@@ -234,7 +297,13 @@ class SceneBuilder:
 
         `bvh`: attach skip-pointer BVH tables for the traversal kernel
         (None = auto at >= AUTO_BVH_THRESHOLD objects — the measured
-        dense/BVH crossover, scripts/bench_bvh.py)."""
+        dense/BVH crossover, scripts/bench_bvh.py).
+
+        HAZARD: the tables freeze build-time geometry.  Edit geometry
+        through `with_geometry` (auto-refits) — a bare
+        `dataclasses.replace` leaves the traversal kernel reading stale
+        AABBs (use `bvh_is_stale` / `refit_bvh`; ProgressiveRenderer
+        checks at construction)."""
         n = len(self._objs)
         m = n if pad_to is None else max(n, pad_to)
         if m == 0:

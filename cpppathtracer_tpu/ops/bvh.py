@@ -502,3 +502,71 @@ def skip_bvh_tables(scene_center, scene_radius, scene_y_pos, scene_height,
         "leaf_objs": leaf_objs,
         "leaf_size": k,
     }
+
+
+def refit_skip_tables(node_meta, node_aabb, leaf_objs, leaf_size,
+                      center, radius, y_pos, height, prim_type):
+    """Refit the skip-pointer tables to moved geometry WITHOUT a rebuild
+    (the analog of `SceneBVH::UpdateObject`'s leaf-rewrite + ancestor
+    AABB walk, `cuSrc/bvh.cu:122-157`, generalized to all leaves at
+    once).  Topology (preorder layout, escape pointers, leaf
+    assignment) is position-independent, so pure movement needs only:
+      1. rewrite every leaf row's geometry columns from the stored
+         grouped object index (col 7), and
+      2. a reverse-preorder AABB pass — leaves from their K objects,
+         internal nodes as the union of their two children, where
+         left = i+1 and right = escape(left) (both recoverable from the
+         meta table alone).
+    Returns (node_aabb', leaf_objs') as new numpy arrays.  The refit
+    tree's AABBs stay valid (they bound the moved objects exactly), so
+    traversal winners match a full rebuild bit-for-bit — only pruning
+    quality can degrade if objects drift far from their build-time
+    clusters.
+    """
+    node_meta = np.asarray(node_meta)
+    leaf_objs = np.array(leaf_objs, np.float32, copy=True)
+    node_aabb = np.array(node_aabb, np.float32, copy=True)
+    center = np.asarray(center, np.float32)
+    radius = np.asarray(radius, np.float32)
+    y_pos = np.asarray(y_pos, np.float32)
+    height = np.asarray(height, np.float32)
+    prim_type = np.asarray(prim_type)
+
+    valid = leaf_objs[:, 6] >= 0
+    oi = leaf_objs[:, 7].astype(np.int64)
+    oi_v = oi[valid]
+    leaf_objs[valid, 0:3] = center[oi_v]
+    leaf_objs[valid, 3] = radius[oi_v]
+    leaf_objs[valid, 4] = y_pos[oi_v]
+    leaf_objs[valid, 5] = height[oi_v]
+
+    sc = {
+        "prim_type": prim_type, "center": center, "radius": radius,
+        "y_pos": y_pos, "height": height,
+    }
+    amin, amax = object_aabbs(sc)
+
+    m = node_meta.shape[0]
+    k = leaf_size
+    for i in range(m - 1, -1, -1):
+        leaf_id = int(node_meta[i, 1])
+        if leaf_id >= 0:
+            rows = slice(leaf_id * k, (leaf_id + 1) * k)
+            rv = valid[rows]
+            if rv.any():
+                ids = oi[rows][rv]
+                node_aabb[i, 0:3] = amin[ids].min(axis=0)
+                node_aabb[i, 3:6] = amax[ids].max(axis=0)
+            else:
+                node_aabb[i, 0:3] = np.inf
+                node_aabb[i, 3:6] = -np.inf
+        else:
+            left = i + 1
+            right = int(node_meta[left, 0])  # escape(left) == right child
+            node_aabb[i, 0:3] = np.minimum(
+                node_aabb[left, 0:3], node_aabb[right, 0:3]
+            )
+            node_aabb[i, 3:6] = np.maximum(
+                node_aabb[left, 3:6], node_aabb[right, 3:6]
+            )
+    return node_aabb, leaf_objs

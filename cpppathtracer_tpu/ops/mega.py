@@ -79,8 +79,8 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
         )
         hit = hitrec["hit"] & (enc >= 0)
         u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + b)
-        bounce_dir, attenuation, emitted = planar.shade_p(
-            mats, hitrec["normal"], d, u1, u2, u3
+        bounce_dir, attenuation, emitted, score_w = planar.shade_p(
+            mats, hitrec["normal"], d, u1, u2, u3, with_score=True
         )
         if with_aux:
             from cpppathtracer_tpu.types import MaterialType
@@ -88,7 +88,20 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
             att_on = (mats["mat_type"] == MaterialType.GLASS) | (
                 planar.dot_p(hitrec["normal"], bounce_dir) > 0.0
             )
-            aux.append((hitrec["pos"], att_on.astype(jnp.float32)))
+            # The textured-albedo epilogue multiplies its throughput by
+            # this plane, so (a) carry the score-function weight
+            # (value-exact 1.0) — detached-branch reflectivity / Fresnel
+            # IOR gradients then flow on textured scenes through ct_att,
+            # the same estimator as every other path — and (b) gate by
+            # the replay's own hit veto so the backward's lane
+            # population matches its radiance recurrence on
+            # ulp-grazing lanes (the forward epilogue uses the kernel's
+            # sign-encoded hit, identical except on those lanes).
+            aux.append((
+                hitrec["pos"],
+                att_on.astype(jnp.float32) * score_w
+                * hit.astype(jnp.float32),
+            ))
         live_hit = hit & alive
         lh = live_hit.astype(jnp.float32)
         rad = planar.add_p(rad, planar.scale_p(planar.mul_p(thru, emitted), lh))
@@ -287,7 +300,10 @@ def _mega_bwd(depth, interpret, with_aux, res, ct):
     # kept as an env-gated alternative (POCA_MEGA_BWD=pallas), verified
     # equivalent in tests, not yet faster.
     force = os.environ.get("POCA_MEGA_BWD", "")
-    use_pallas = force == "pallas"
+    # The Pallas bwd kernel ignores ct_att, which now carries the
+    # score-function gradient on textured scenes — route those through
+    # the XLA replay.
+    use_pallas = force == "pallas" and not with_aux
     if use_pallas:
         return _mega_bwd_pallas(
             depth, interpret, with_aux, gs, camera, pixel_idx, sample_idx,

@@ -152,12 +152,17 @@ def phong_lobe_p(u1, u2, alpha):
 # ---------------------------------------------------------------------------
 
 
-def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True):
+def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True,
+            with_score=False):
     """Planar BSDF sampling; see ops/bsdf.shade for the semantics contract.
 
     mat: dict with mat_type/emission/smoothness/reflectivity/ior f32[R]
     and kd as a planar vec3.  normal/in_dir planar vec3.
-    Returns (bounce_dir vec3, attenuation vec3, emitted vec3).
+    Returns (bounce_dir vec3, attenuation vec3, emitted vec3); with
+    `with_score` additionally returns the score-function weight w f32[R]
+    (forward-exact 1.0; see ops/bsdf._score_weight) so callers that
+    rebuild the attenuation elsewhere — the textured-albedo mega
+    epilogue — can apply the same detached-branch estimator.
     """
     mat_type = mat["mat_type"]
     kd = mat["kd_p"]
@@ -216,7 +221,8 @@ def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True):
     atten_kd = kd if kd_override is None else kd_override
     zero = jnp.zeros_like(u1)
     attenuation = where_p(atten_on, atten_kd, (zero, zero, zero))
-    if score_grad:
+    w = None
+    if score_grad or with_score:
         # score-function surrogate for the detached branch choices —
         # forward-exact x/x == 1 weights; see ops/bsdf._score_weight.
         from cpppathtracer_tpu.ops.bsdf import _score_weight
@@ -225,8 +231,11 @@ def shade_p(mat, normal, in_dir, u1, u2, u3, kd_override=None, score_grad=True):
             is_mirror, mirror_reflects, reflectivity,
             is_glass, glass_reflects, reflect_prob,
         )
-        attenuation = scale_p(attenuation, w)
+        if score_grad:
+            attenuation = scale_p(attenuation, w)
     emitted = scale_p(kd, mat["emission"])
+    if with_score:
+        return bounce_dir, attenuation, emitted, w
     return bounce_dir, attenuation, emitted
 
 

@@ -318,8 +318,15 @@ def _sky(sky_tex, d):
     return sample_bilinear_np(sky_tex, u, v).astype(F)
 
 
-def render_pixel(sc, cam, sky_tex, pixel, sample, seed, max_depth):
-    """One sample of one pixel. Returns (radiance[3], first_normal[3], first_t)."""
+def render_pixel(sc, cam, sky_tex, pixel, sample, seed, max_depth,
+                 selfhit_out=None):
+    """One sample of one pixel. Returns (radiance[3], first_normal[3], first_t).
+
+    `selfhit_out`: optional 1-element list; set to True when any bounce>=1
+    accepts a hit with t < 1e-3 — a surface-acne self-hit whose
+    acceptance against BOUNCE_RAY_TMIN (2e-5) is an fp32 rounding coin
+    flip between implementations (the golden tests mask these pixels and
+    demand exact agreement on the rest)."""
     origin, direction = _ray_gen(cam, pixel, sample, seed)
     tmin, tmax = F(0.0), F(DEFAULT_RAY_TMAX)
     radiance = np.zeros(3, F)
@@ -331,6 +338,8 @@ def render_pixel(sc, cam, sky_tex, pixel, sample, seed, max_depth):
         u1, u2, u3, _ = uniforms4_np(seed, pixel, sample, 1 + bounce)
         if res is not None:
             t, normal, i = res
+            if selfhit_out is not None and bounce >= 1 and t < 1e-3:
+                selfhit_out[0] = True
             pos = (origin + F(t) * direction).astype(F)
             wo, atten, emitted = _shade(sc, i, normal, direction, u1, u2, u3)
             radiance = (radiance + throughput * emitted).astype(F)
@@ -350,9 +359,13 @@ def render_pixel(sc, cam, sky_tex, pixel, sample, seed, max_depth):
     return radiance, first_n, first_t
 
 
-def render_image_np(scene, camera, sky_tex, spp, max_depth, seed=0):
+def render_image_np(scene, camera, sky_tex, spp, max_depth, seed=0,
+                    return_selfhit=False):
     """Full-frame oracle render. Returns (radiance [H,W,3], normal [H,W,3],
-    depth [H,W]) — radiance is the mean over spp; aux from sample 0."""
+    depth [H,W]) — radiance is the mean over spp; aux from sample 0.
+    With `return_selfhit`, appends an [H,W] bool acne mask: True where any
+    sample's path accepted a bounce>=1 hit with t < 1e-3 (see
+    render_pixel)."""
     sc = scene_to_np(scene)
     cam = camera_to_np(camera)
     h, w = cam["height"], cam["width"]
@@ -360,13 +373,20 @@ def render_image_np(scene, camera, sky_tex, spp, max_depth, seed=0):
     rad = np.zeros((h * w, 3), F)
     nrm = np.zeros((h * w, 3), F)
     dep = np.zeros(h * w, F)
+    acne = np.zeros(h * w, bool)
     for pixel in range(h * w):
         acc = np.zeros(3, F)
         for s in range(spp):
-            r, n0, t0 = render_pixel(sc, cam, sky_tex, pixel, s, seed, max_depth)
+            sh = [False]
+            r, n0, t0 = render_pixel(sc, cam, sky_tex, pixel, s, seed,
+                                     max_depth, selfhit_out=sh)
+            acne[pixel] |= sh[0]
             acc = (acc + r).astype(F)
             if s == 0:
                 nrm[pixel] = n0
                 dep[pixel] = t0
         rad[pixel] = acc / F(spp)
-    return rad.reshape(h, w, 3), nrm.reshape(h, w, 3), dep.reshape(h, w)
+    out = (rad.reshape(h, w, 3), nrm.reshape(h, w, 3), dep.reshape(h, w))
+    if return_selfhit:
+        return out + (acne.reshape(h, w),)
+    return out

@@ -122,6 +122,18 @@ class ProgressiveRenderer:
     D2H copy + callback)."""
 
     def __init__(self, scene, camera: Camera, sky_tex, config: RenderConfig | None = None):
+        # Stale-BVH guard (editing geometry via bare dataclasses.replace
+        # leaves attached traversal tables pointing at old positions —
+        # silently wrong winners).  Host boundary, concrete arrays:
+        # refit here, once, before any tracing.
+        if getattr(scene, "bvh_meta", None) is not None and scene.bvh_is_stale():
+            from cpppathtracer_tpu.utils.obs import get_logger
+
+            get_logger().warning(
+                "scene BVH tables are stale (geometry edited after build);"
+                " refitting — use Scene.with_geometry to avoid this"
+            )
+            scene = scene.refit_bvh()
         self.scene = scene
         self.camera = camera
         self.sky_tex = jnp.asarray(sky_tex, jnp.float32)

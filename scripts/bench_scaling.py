@@ -10,7 +10,7 @@ On real multi-chip hardware this measures ICI collective overhead
 directly.  On this pod there is ONE physical TPU chip, so the 8-device
 mesh is `xla_force_host_platform_device_count` virtual CPU devices that
 OVERSUBSCRIBE the host's physical cores — the harness therefore also
-reports `cores`, and computes `efficiency_core_adjusted` which normalizes
+reports `cores`, and computes a core-adjusted SIMULATION BOUND that normalizes
 by the core-oversubscription factor min(1, cores / n_devices).  The
 communication term it isolates is real either way: the only collective in
 the step is the psum of the (tiny, O(objects)) parameter cotangents —
@@ -116,9 +116,17 @@ def main():
     t1 = rows[0]["step_s"]
     for r in rows:
         n = r["n_devices"]
+        # PRIMARY metric: raw weak-scaling efficiency (t_1 / t_n at
+        # constant per-device work).  On this single host the N virtual
+        # CPU "devices" oversubscribe `cores` physical cores, so raw
+        # efficiency is bounded above by cores/N — the core-adjusted
+        # figure divides that bound out as a HOST-CPU-SIMULATION BOUND
+        # ONLY.  It can exceed what real ICI hardware would deliver
+        # (no network cost is simulated); the >=90% BASELINE claim is
+        # deferred to a real multi-chip run.
         r["efficiency"] = t1 / r["step_s"]
-        r["efficiency_core_adjusted"] = (t1 / r["step_s"]) / min(
-            1.0, cores / n
+        r["efficiency_core_adjusted_simulation_bound"] = (
+            (t1 / r["step_s"]) / min(1.0, cores / n)
         )
 
     result = {
@@ -127,13 +135,20 @@ def main():
         "host_cores": cores,
         "config": {"tile": args.tile, "spp": args.spp, "depth": args.depth},
         "mode": "weak-scaling (constant per-device tile)",
+        "primary_metric": "efficiency (raw t1/tn; core-oversubscribed)",
+        "note": (
+            "virtual CPU mesh on one host: raw efficiency is bounded by "
+            "host_cores/n_devices; the *_simulation_bound column removes "
+            "that bound and is NOT evidence for the >=90% multi-host "
+            "BASELINE target, which needs a real multi-chip run"
+        ),
         "rows": rows,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"scaling": [
         {"n": r["n_devices"], "eff": round(r["efficiency"], 3),
-         "eff_core_adj": round(r["efficiency_core_adjusted"], 3)}
+         "eff_sim_bound": round(r["efficiency_core_adjusted_simulation_bound"], 3)}
         for r in rows
     ]}))
 

@@ -72,11 +72,11 @@ def main() -> int:
     rng = np.random.RandomState(0)
     sb = SceneBuilder()
     sb.add_platform(0.0)
-    for _ in range(255):  # >= AUTO_BVH_THRESHOLD -> auto-attaches BVH tables
+    for _ in range(255):
         c = rng.uniform(-200, 200, 3)
         sb.add_sphere((c[0], abs(c[1]) * 0.2 + 2.0, c[2]),
                       rng.uniform(1.0, 8.0))
-    bvh = sb.build()
+    bvh = sb.build(bvh=True)  # force BVH tables (auto-attach is >=3072)
     paths = [
         ("mega (default TPU fwd+bwd)", {}, dense),
         ("winner-kernel (POCA_MEGA=0)", {"POCA_MEGA": "0"}, dense),

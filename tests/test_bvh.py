@@ -229,4 +229,62 @@ def test_auto_bvh_threshold():
     big = big_scene(AUTO_BVH_THRESHOLD + 16)
     assert big.bvh_meta is not None
     m, k = big.bvh_dims
-    assert m >= 3 and k == 8
+    # auto leaf size: K = ceil(N/256) rounded up to a multiple of 8,
+    # keeping the SMEM node tables bounded (~512 nodes) at any scene size
+    assert m >= 3 and k % 8 == 0 and k >= 8
+    assert m <= 1024, m  # node tables must stay SMEM-resident
+
+
+def test_skip_bvh_refit_matches_rebuild():
+    # Move objects, refit the skip tables (reference UpdateObject
+    # semantics, bvh.cu:122-157) — traversal winners must equal a full
+    # rebuild's (closest-hit is topology-independent; only pruning
+    # quality differs).
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cpppathtracer_tpu.models.presets import big_scene
+    from cpppathtracer_tpu.ops import fast
+    from cpppathtracer_tpu.types import Rays
+
+    scene = big_scene(96, bvh=True)
+    rng = np.random.RandomState(5)
+    new_center = np.asarray(scene.center) + rng.uniform(
+        -5, 5, scene.center.shape
+    ).astype(np.float32)
+    moved = dataclasses.replace(scene, center=jnp.asarray(new_center))
+    assert moved.bvh_is_stale()
+
+    refit = moved.refit_bvh()
+    assert not refit.bvh_is_stale()
+    rebuilt = moved.with_bvh()
+
+    r = 256
+    o = np.zeros((r, 3), np.float32)
+    o[:, 1] = 50.0
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(
+        origin=jnp.asarray(o), dir=jnp.asarray(d),
+        tmin=jnp.zeros((r,), jnp.float32),
+        tmax=jnp.full((r,), 1e30, jnp.float32),
+    )
+
+    def winners(s):
+        gs = fast.group_scene(s)
+        hit, _ = fast.intersect_and_gather_planar(
+            gs, tuple(rays.origin.T), tuple(rays.dir.T), rays.tmin, rays.tmax
+        )
+        return np.asarray(hit["obj_idx"]), np.asarray(hit["t"])
+
+    i_refit, t_refit = winners(refit)
+    i_reb, t_reb = winners(rebuilt)
+    np.testing.assert_array_equal(i_refit, i_reb)
+    np.testing.assert_allclose(t_refit, t_reb, rtol=1e-6)
+
+    # with_geometry is the safe one-step edit API
+    safe = scene.with_geometry(center=jnp.asarray(new_center))
+    assert not safe.bvh_is_stale()
+    i_safe, _ = winners(safe)
+    np.testing.assert_array_equal(i_safe, i_reb)

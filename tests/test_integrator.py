@@ -129,14 +129,56 @@ def test_demo_scene_vs_oracle():
     # coordinate scale (|pos| ~ 200) one fp32 ulp is ~1.5e-5 — the same
     # magnitude as the reference's BOUNCE_RAY_TMIN=2e-5 — so bounce
     # self-hit acceptance is a rounding coin flip between any two fp32
-    # implementations.  Measured: 17/192 oracle paths (8.9%) contain a
-    # t<1e-3 self-hit, matching the mismatch count exactly; bad_frac
-    # covers exactly that population and the median stays at noise level.
+    # implementations.  Mask-then-exact (round-3 verdict #6): the acne
+    # population is IDENTIFIED FROM THE ORACLE's own t<1e-3 self-hit
+    # records (not from the diff), asserted small, and the whole clean
+    # population must agree to 1e-4 — a bug corrupting any non-acne pixel
+    # now fails regardless of how few pixels it touches.
+    # Fragile pixels are found by the ORACLE ALONE two ways: (a) its
+    # t<1e-3 self-hit records, (b) a decision-stability probe — re-render
+    # with the camera origin shifted by ~1e-3 scene units (pixel footprint
+    # here is ~20 units, so radiance is smooth in the origin EXCEPT where
+    # a discrete decision flips) and flag pixels whose radiance moves
+    # >1e-3.  That catches the knife-edge class self-hit records miss:
+    # bounce rays passing near-tangent to a surface, where hit-vs-miss is
+    # an fp-rearrangement coin flip (the matmul-form winner computes the
+    # quadratic's c by a different — equally valid — rounding).
     from cpppathtracer_tpu.models.scene import demo_scene
 
     scene = demo_scene(seed=0).build()
-    cam = Camera.make(16, 12, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
-    _compare_images(scene, cam, spp=1, max_depth=3, seed=9, bad_frac=0.12)
+
+    def mk(dx, dy, dz):
+        return Camera.make(16, 12, origin=(130.0 + dx, 103.0 + dy, 130.0 + dz),
+                           look_at=(0.0, 0.0, 0.0))
+
+    cam = mk(0, 0, 0)
+    spp, max_depth, seed = 1, 3, 9
+    want_rad, want_n, want_t, selfhit = ref.render_image_np(
+        scene, cam, SKY, spp, max_depth, seed, return_selfhit=True
+    )
+    fragile = selfhit.copy()
+    for p in ((1e-3, 1e-3, 1e-3), (-1e-3, -1e-3, -1e-3),
+              (4e-3, -4e-3, 0.0), (0.0, 4e-3, -4e-3)):
+        probe_rad, _, _ = ref.render_image_np(scene, mk(*p), SKY, spp,
+                                              max_depth, seed)
+        fragile |= np.abs(probe_rad - want_rad).max(-1) > 1e-3
+
+    got_rad, got_n, got_t = render_radiance(
+        scene, cam, jnp.asarray(SKY), spp=spp, max_depth=max_depth, seed=seed
+    )
+    h, w = cam.height, cam.width
+    got_rad = np.asarray(got_rad).reshape(h, w, 3)
+    got_n = np.asarray(got_n).reshape(h, w, 3)
+    got_t = np.asarray(got_t).reshape(h, w)
+
+    clean = ~fragile
+    assert clean.mean() >= 0.75, f"fragile population too large: {fragile.mean():.3f}"
+    np.testing.assert_allclose(got_rad[clean], want_rad[clean], atol=1e-4)
+    np.testing.assert_allclose(got_n[clean], want_n[clean], atol=1e-4)
+    finite = clean & (want_t < 1e29)
+    np.testing.assert_allclose(
+        got_t[finite], want_t[finite], rtol=1e-5, atol=1e-3
+    )
 
 
 def test_spp_chunking_matches_unchunked():
@@ -160,3 +202,33 @@ def test_spp_chunking_matches_unchunked():
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=2e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(n2), np.asarray(n1))
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
+
+
+def test_cornell_with_file_sky_asset():
+    # The shipped sky asset (assets/sky.png, the analog of the
+    # reference's textures/sky.png, path_tracer.cu:47) through the
+    # DEFAULT pipeline: load_texture -> render_radiance, golden vs the
+    # oracle fed the same loaded texels.
+    import os
+
+    from cpppathtracer_tpu.ops.texture import load_texture
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "sky.png")
+    sky = load_texture(path)
+    assert sky.shape == (1280, 1280, 3) and sky.max() <= 1.0
+    # downsample for oracle speed; mirror-exact sampling is covered by
+    # test_texture — this pins the end-to-end file->radiance path
+    sky_small = sky[::16, ::16].copy()
+    cam = Camera.make(12, 8, origin=(0.0, 3.0, -9.0), look_at=(0.0, 1.5, 0.0))
+    scene = cornell_scene()
+    want, _, _, selfhit = ref.render_image_np(
+        scene, cam, sky_small, 2, 3, 4, return_selfhit=True
+    )
+    got, _, _ = render_radiance(
+        scene, cam, jnp.asarray(sky_small), spp=2, max_depth=3, seed=4
+    )
+    got = np.asarray(got).reshape(8, 12, 3)
+    clean = ~selfhit
+    assert clean.mean() >= 0.95
+    np.testing.assert_allclose(got[clean], want[clean], atol=1e-4)

@@ -81,10 +81,12 @@ def test_mega_forward_matches_default(_mega_env):
 
 
 def test_mega_grads_match_default_controlled(_mega_env):
+    # 12x8 x spp2 x depth3: eager per-op dispatch through the interpret
+    # kernel is the runtime driver, so hold tolerances and shrink pixels
     scene = _controlled_scene()
-    cam = Camera.make(16, 12, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    cam = Camera.make(12, 8, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
     sky = jnp.asarray(procedural_sky(16, 16))
-    loss = _render_loss(scene, cam, sky, spp=2, depth=4)
+    loss = _render_loss(scene, cam, sky, spp=2, depth=3)
     params = {"kd": scene.kd, "emission": scene.emission}
 
     grad = jax.grad(lambda p, s, k: loss(p, s, k)[0])
@@ -112,9 +114,9 @@ def test_mega_sky_and_camera_grads(_mega_env):
         return jnp.sum(rad * rad)
 
     _mega_env(False)
-    gs0, go0 = jax.grad(loss_sky, argnums=(0, 1))(sky, cam.origin)
+    gs0, go0 = jax.jit(jax.grad(loss_sky, argnums=(0, 1)))(sky, cam.origin)
     _mega_env(True)
-    gs1, go1 = jax.grad(loss_sky, argnums=(0, 1))(sky, cam.origin)
+    gs1, go1 = jax.jit(jax.grad(loss_sky, argnums=(0, 1)))(sky, cam.origin)
     assert float(jnp.linalg.norm(gs0)) > 0  # sky grads actually flow
     np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(go1), np.asarray(go0), rtol=1e-2, atol=1e-2)
@@ -125,7 +127,7 @@ def test_mega_demo_scene_aggregate_grads(_mega_env):
     # chains honestly diverge at tangencies; aggregates must agree.
     # kept SMALL (12x8, 1 spp, depth 3): see round-2 verdict item 7
     scene = demo_scene(seed=0).build()
-    cam = Camera.make(12, 8, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
+    cam = Camera.make(8, 6, origin=(130.0, 103.0, 130.0), look_at=(0.0, 0.0, 0.0))
     sky = jnp.asarray(procedural_sky(16, 16))
     loss = _render_loss(scene, cam, sky, spp=1, depth=3)
     params = {"kd": scene.kd, "emission": scene.emission}
@@ -142,6 +144,7 @@ def test_mega_demo_scene_aggregate_grads(_mega_env):
         assert abs(np.linalg.norm(b) / np.linalg.norm(a) - 1) < 5e-3, k
 
 
+@pytest.mark.slow
 def test_mega_pallas_bwd_matches_xla_replay(_mega_env, monkeypatch):
     # The fused Pallas VJP kernel (ops/pallas/mega_bwd_kernel.py) must
     # produce the same gradients as the plain-XLA replay it replaces.
