@@ -115,6 +115,17 @@ def render_video(
     def _denoise(rad, n0, t0):
         return denoise(rad, n0, t0)
 
+    # ONE compiled frame program reused across the path (camera pytrees
+    # and the seed are dynamic args): rendering each frame eagerly costs
+    # per-op dispatch — seconds per frame through a remote-TPU tunnel.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("spp", "max_depth"))
+    def _render_frame(scene, cam, sky_tex, seed, *, spp, max_depth):
+        return render_radiance(
+            scene, cam, sky_tex, spp=spp, max_depth=max_depth, seed=seed
+        )
+
     try:
         for i, cam in enumerate(cameras):
             h, w = cam.height, cam.width
@@ -123,8 +134,8 @@ def render_video(
                     scene, cam, sky_tex, mesh, spp=spp, max_depth=max_depth, seed=seed + i
                 )
             else:
-                rad, n0, t0 = render_radiance(
-                    scene, cam, sky_tex, spp=spp, max_depth=max_depth, seed=seed + i
+                rad, n0, t0 = _render_frame(
+                    scene, cam, sky_tex, seed + i, spp=spp, max_depth=max_depth
                 )
                 rad = rad.reshape(h, w, 3)
                 n0 = n0.reshape(h, w, 3)
