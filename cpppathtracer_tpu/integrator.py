@@ -364,6 +364,10 @@ def render_radiance(
     aux buffers come from sample 0.  Differentiable w.r.t. scene material
     params, sky_tex and camera.
     """
+    # standard iota pixel layout (pix_c = tile(arange(r_n), chunk)): the
+    # mega path then skips the pix/samp sort payloads and reconstructs
+    # both from the sorted src plane (ops/mega.py)
+    iota_pix = pixel_idx is None
     if pixel_idx is None:
         pixel_idx = jnp.arange(camera.width * camera.height, dtype=jnp.int32)
 
@@ -429,7 +433,7 @@ def render_radiance(
                 s_key = s_key + samp_rep
             outs = mega.mega_sample(
                 gs, camera, pix_c, s_key, seed, max_depth, not on_tpu,
-                mega_aux,
+                mega_aux, r_n if iota_pix else 0,
             )
             if mega_aux:
                 (rad_p, miss_p, thru_p, missed, fn_p, ft,

@@ -121,7 +121,7 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
 
 
 def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
-                    with_aux=False):
+                    with_aux=False, iota_rn=0):
     from cpppathtracer_tpu.ops.fast import _pick_tile
     from cpppathtracer_tpu.ops.pallas.intersect_kernel import (
         build_geom_mxu,
@@ -177,49 +177,140 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
         )
         # Element gathers inside the spp scan cost ~9 ms per [1M] plane on
         # v5e, but ONE lax.sort moving a dozen payload planes costs
-        # ~3 ms — so both the partition and its inverse are sorts.
+        # ~3-7 ms — so both the partition and its inverse are sorts
+        # (~2.5 ms base + ~0.33 ms per payload plane, measured).
         dead_key = (missed_a > 0.0).astype(jnp.int32)
         n_alive = r_pad - jnp.sum(dead_key)
         src = jnp.arange(r_pad, dtype=jnp.int32)
+        # pix/samp payloads are skipped when the caller used the standard
+        # iota construction (pixel_idx = arange(r_n) tiled spp_chunk
+        # times): both reconstruct from the sorted src plane.
+        extra = () if iota_rn else (pix_in, samp_in)
         sorted_in = jax.lax.sort(
             (dead_key, src,
              o_a[0], o_a[1], o_a[2], d_a[0], d_a[1], d_a[2],
-             thru_a[0], thru_a[1], thru_a[2], pix_in, samp_in),
+             thru_a[0], thru_a[1], thru_a[2]) + extra,
             num_keys=1, is_stable=True,
         )
         src_s = sorted_in[1]
         o_s = tuple(sorted_in[2:5])
         d_s = tuple(sorted_in[5:8])
         thru_s = tuple(sorted_in[8:11])
-        pix_s, samp_s = sorted_in[11], sorted_in[12]
-        (rad_b, md_b, mt_b, missed_b, _fn_b, _ft_b, hit_b, aux_b) = (
-            pallas_mega_trace(
-                o_s, d_s, pix_s, samp_s, seed_in,
+        if iota_rn:
+            pix_s = src_s % iota_rn
+            samp_s = jnp.reshape(samp_in[0], ()) + src_s // iota_rn
+        else:
+            pix_s, samp_s = sorted_in[11], sorted_in[12]
+
+        def run_b(o_b, d_b, thru_b, pix_b, samp_b, n_alive_b, depth_b):
+            return pallas_mega_trace(
+                o_b, d_b, pix_b, samp_b, seed_in,
                 geom, gmx, sg(ts), sg(trt),
-                counts=gs.counts, depth=depth - split, tile=tile,
+                counts=gs.counts, depth=depth_b, tile=tile,
                 interpret=interpret, with_aux=with_aux,
                 start_bounce=split,
-                thru=thru_s, n_alive=n_alive,
+                thru=thru_b, n_alive=n_alive_b,
             )
+
+        # Static-prefix ladder: B1 always covers the first quarter of the
+        # sorted rays; B2 covers the rest but only RUNS (lax.cond) when
+        # the alive prefix spills past r_q — on the demo scene ~9% of
+        # rays survive bounce 2, so the typical sample pays grid
+        # iteration for r_pad/4 tiles instead of all of them (skipped
+        # tiles cost ~2 us each; ~1.5 ms/sample at 1024 tiles).
+        r_q = (r_pad // 4) // tile * tile
+        nb = depth - split
+        ladder_env = os.environ.get("POCA_MEGA_LADDER", "")
+        use_ladder = (
+            r_q >= tile and r_pad - r_q >= tile
+            and (ladder_env == "1" if ladder_env in ("0", "1")
+                 else not interpret)
         )
+        if use_ladder:
+            pre = lambda a: a[:r_q]
+            suf = lambda a: a[r_q:]
+            outs_b1 = run_b(
+                tuple(pre(c) for c in o_s), tuple(pre(c) for c in d_s),
+                tuple(pre(c) for c in thru_s), pre(pix_s), pre(samp_s),
+                n_alive, nb,
+            )
+
+            suf_ops = (
+                tuple(suf(c) for c in o_s), tuple(suf(c) for c in d_s),
+                tuple(suf(c) for c in thru_s), suf(pix_s), suf(samp_s),
+                n_alive - r_q,
+            )
+
+            def b2_live(ops):
+                o_b, d_b, thru_b, pix_b, samp_b, na = ops
+                outs = run_b(o_b, d_b, thru_b, pix_b, samp_b, na, nb)
+                return outs[:7] + (() if outs[7] is None else outs[7],)
+
+            def b2_skip(ops):
+                r_s = r_pad - r_q
+                z = jnp.zeros((r_s,), jnp.float32)
+                z3 = (z, z, z)
+                hits = tuple(
+                    jnp.full((r_s,), -1, jnp.int32) for _ in range(nb)
+                )
+                aux0 = (
+                    tuple((z3, z) for _ in range(nb)) if with_aux else ()
+                )
+                return (z3, z3, z3, z, z3, z, hits, aux0)
+
+            outs_b2 = jax.lax.cond(
+                n_alive > r_q, b2_live, b2_skip, suf_ops
+            )
+            cat = lambda a, b: jnp.concatenate([a, b])
+            cat3 = lambda a, b: tuple(cat(a[i], b[i]) for i in range(3))
+            rad_b = cat3(outs_b1[0], outs_b2[0])
+            md_b = cat3(outs_b1[1], outs_b2[1])
+            mt_b = cat3(outs_b1[2], outs_b2[2])
+            missed_b = cat(outs_b1[3], outs_b2[3])
+            hit_b = tuple(
+                cat(h1, h2) for h1, h2 in zip(outs_b1[6], outs_b2[6])
+            )
+            aux_b = None
+            if with_aux:
+                aux_b = tuple(
+                    (cat3(p1, p2), cat(a1, a2))
+                    for (p1, a1), (p2, a2) in zip(outs_b1[7], outs_b2[7])
+                )
+        else:
+            (rad_b, md_b, mt_b, missed_b, _fn_b, _ft_b, hit_b, aux_b) = (
+                run_b(o_s, d_s, thru_s, pix_s, samp_s, n_alive, nb)
+            )
         # inverse permutation: sort phase-B outputs by original position
-        # (src_s is a permutation, so keys are unique)
+        # (src_s is a permutation, so keys are unique).  Hit planes ride
+        # in PAIRS — (enc+1) in 16-bit halves (winner indices < n_pad <<
+        # 2^15) — halving their payload count (~0.33 ms/plane).
         aux_flat = ()
         if with_aux:
             aux_flat = tuple(
                 c for p, att in aux_b for c in (p[0], p[1], p[2], att)
             )
+        packed = []
+        for i in range(0, nb - 1, 2):
+            packed.append(((hit_b[i] + 1) << 16) | (hit_b[i + 1] + 1))
+        if nb % 2:
+            packed.append(hit_b[nb - 1] + 1)
         inv = jax.lax.sort(
             (src_s,) + tuple(rad_b) + tuple(md_b) + tuple(mt_b)
-            + (missed_b,) + tuple(hit_b) + aux_flat,
+            + (missed_b,) + tuple(packed) + aux_flat,
             num_keys=1, is_stable=False,
         )
-        nb = depth - split
         rad_bu = inv[1:4]
         md_bu = inv[4:7]
         mt_bu = inv[7:10]
         missed_bu = inv[10]
-        hit_bu = inv[11 : 11 + nb]
+        hp = inv[11 : 11 + len(packed)]
+        hit_bu = []
+        for i in range(0, nb - 1, 2):
+            w = hp[i // 2]
+            hit_bu.append((w >> 16) - 1)
+            hit_bu.append((w & 0xFFFF) - 1)
+        if nb % 2:
+            hit_bu.append(hp[-1] - 1)
         a_dead = missed_a > 0.0
         sel = jnp.where
         rad = tuple(rad_a[i] + rad_bu[i] for i in range(3))
@@ -229,7 +320,7 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
         hit_idx = hit_a + tuple(hit_bu)
         aux = None
         if with_aux:
-            af = inv[11 + nb :]
+            af = inv[11 + len(packed) :]
             aux = aux_a + tuple(
                 ((af[b * 4], af[b * 4 + 1], af[b * 4 + 2]), af[b * 4 + 3])
                 for b in range(nb)
@@ -261,9 +352,9 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     return out, hit_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def mega_sample(gs, camera, pixel_idx, sample_idx, seed, depth,
-                interpret=False, with_aux=False):
+                interpret=False, with_aux=False, iota_rn=0):
     """One integrator sample via the megakernel.
 
     Returns planar (rad vec3, miss_dir vec3, miss_thru vec3,
@@ -275,20 +366,22 @@ def mega_sample(gs, camera, pixel_idx, sample_idx, seed, depth,
     Differentiable w.r.t. `gs` (scene tables) and `camera`.
     """
     out, _ = _kernel_forward(
-        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux,
+        iota_rn,
     )
     return out
 
 
 def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
-              with_aux):
+              with_aux, iota_rn):
     out, hit_idx = _kernel_forward(
-        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux
+        gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux,
+        iota_rn,
     )
     return out, (gs, camera, pixel_idx, sample_idx, seed, hit_idx)
 
 
-def _mega_bwd(depth, interpret, with_aux, res, ct):
+def _mega_bwd(depth, interpret, with_aux, iota_rn, res, ct):
     gs, camera, pixel_idx, sample_idx, seed, hit_idx = res
 
     # Default: the plain-XLA replay.  Round-3 profiling showed the

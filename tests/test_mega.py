@@ -170,3 +170,31 @@ def test_mega_pallas_bwd_matches_xla_replay(_mega_env, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
         )
+
+
+def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
+    # The survivor-compaction split (phase A + sort partition + guarded
+    # phase B + static-prefix ladder, ops/mega.py) must be radiance- and
+    # hit-plane-identical to the single-kernel trace: per-ray RNG keys
+    # make the result permutation-invariant.  Small CPU tests never
+    # reach the split (r_pad < 4 tiles), so this one renders 64x64 and
+    # forces the ladder on.
+    _mega_env(True)
+    scene = _controlled_scene()
+    cam = Camera.make(64, 64, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(8, 8))
+
+    def render():
+        rad, n0, t0 = render_radiance(
+            scene, cam, sky, spp=1, max_depth=4, seed=3
+        )
+        return np.asarray(rad), np.asarray(n0), np.asarray(t0)
+
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "0")
+    rad0, n0_0, t0_0 = render()
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "2")
+    monkeypatch.setenv("POCA_MEGA_LADDER", "1")
+    rad1, n0_1, t0_1 = render()
+    np.testing.assert_array_equal(rad1, rad0)
+    np.testing.assert_array_equal(n0_1, n0_0)
+    np.testing.assert_array_equal(t0_1, t0_0)
