@@ -198,3 +198,11 @@ def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
     np.testing.assert_array_equal(rad1, rad0)
     np.testing.assert_array_equal(n0_1, n0_0)
     np.testing.assert_array_equal(t0_1, t0_0)
+
+    # explicit pixel_idx (iota_rn=0): the partition sort carries pix/samp
+    # payloads instead of reconstructing them — same result bit-for-bit
+    pix = jnp.arange(64 * 64, dtype=jnp.int32)
+    rad2, _, _ = [np.asarray(a) for a in render_radiance(
+        scene, cam, sky, spp=1, max_depth=4, seed=3, pixel_idx=pix
+    )]
+    np.testing.assert_array_equal(rad2, rad0)
