@@ -182,13 +182,16 @@ class PackedTexture:
     shape: tuple = _dataclasses.field(metadata=dict(static=True))  # (H, W)
 
 
-# TPU gather cost scales with table ROW COUNT, not row bytes (measured:
-# [65536,16] 3.4 ms vs [8192,128] 1.5 ms for 262k gathers on v5e), so the
-# quad table folds FOLD consecutive quads into one wide row; the sampler
-# gathers the row and selects the quad with an exact 0/1 one-hot sum.
-# FOLD=4 balances row count against the gather's output traffic
-# ([R, FOLD*16] materializes + one layout copy before the quad reduce).
-_FOLD = 4
+# The quad table folds FOLD consecutive quads into one wide row (the
+# sampler gathers the row and one-hot-selects the quad — exact 0/1 sum,
+# bit-identical to a direct fetch).  Tuning is config-dependent: at the
+# bench config (1024^2 x 64spp, 256^2 sky, v5e) FOLD=4 measured best
+# (215.0 -> 218.2 Mrays/s over FOLD=1), while a short spp-4 run slightly
+# favored FOLD=1 — keep 4, override with POCA_SKY_FOLD to re-tune
+# (read once at import).
+import os as _os
+
+_FOLD = int(_os.environ.get("POCA_SKY_FOLD", "0")) or 4
 
 
 def pack_bilinear(tex) -> PackedTexture:
