@@ -186,7 +186,7 @@ def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
 
     def render():
         rad, n0, t0 = render_radiance(
-            scene, cam, sky, spp=1, max_depth=4, seed=3
+            scene, cam, sky, spp=1, max_depth=3, seed=3
         )
         return np.asarray(rad), np.asarray(n0), np.asarray(t0)
 
@@ -203,6 +203,6 @@ def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
     # payloads instead of reconstructing them — same result bit-for-bit
     pix = jnp.arange(64 * 64, dtype=jnp.int32)
     rad2, _, _ = [np.asarray(a) for a in render_radiance(
-        scene, cam, sky, spp=1, max_depth=4, seed=3, pixel_idx=pix
+        scene, cam, sky, spp=1, max_depth=3, seed=3, pixel_idx=pix
     )]
     np.testing.assert_array_equal(rad2, rad0)
