@@ -137,6 +137,42 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     mega_tile = int(os.environ.get("POCA_MEGA_TILE", "0")) or _MEGA_TILE
     tile = min(mega_tile, _pick_tile(r))
     r_pad = -(-r // tile) * tile
+
+    # Survivor compaction (the big forward lever): on the demo scene only
+    # ~20% of rays survive bounce 1 and ~9% survive bounce 2, but the
+    # survivors are scattered pixel-i.i.d. (diffuse bounce directions are
+    # random), so per-tile early-exit inside one kernel saves nothing at
+    # ANY granularity or pixel ordering (measured: live-tile fraction is
+    # 1.00 even for 128-lane Morton tiles).  Instead split the trace at
+    # bounce S: phase A runs bounces [0, S) for all rays, the survivors
+    # are stably packed to a global prefix, and phase B runs bounces
+    # [S, depth) with whole-tile skip past the alive prefix (n_alive
+    # scalar in SMEM).  Per-ray RNG keys are (pixel, sample, bounce)-
+    # based, so radiance is bitwise invariant to the permutation; hit
+    # planes are unpermuted before returning, so the backward replay is
+    # completely unchanged.  POCA_MEGA_SPLIT sets S (0 disables).
+    # S=2 measured best on the demo scene: alive fraction is 19.8% after
+    # bounce 1 but 8.8% after bounce 2, and the second bounce's
+    # full-width cost is cheaper than running bounces 2..7 on 2.25x more
+    # tiles.
+    split_env = os.environ.get("POCA_MEGA_SPLIT", "2")
+    split = int(split_env) if split_env.lstrip("-").isdigit() else 2
+    do_split = 0 < split and depth - split >= 2 and r_pad >= 4 * tile
+    # Partition mechanism: "pallas" (default) = O(R) stream-compaction
+    # kernels (ops/pallas/compact_kernel.py; 11.4 -> ~5 ms/sample measured
+    # r5); "sort" = the r4 lax.sort pair (kept as a fallback and for
+    # shapes the chunked compaction cannot cover).
+    pc_env = os.environ.get("POCA_MEGA_COMPACT", "")
+    chunk = 0
+    if do_split and pc_env != "sort":
+        for c in (8192, 4096, 2048, 1024):
+            if r_pad >= 4 * c or (c == 1024 and r_pad >= c):
+                chunk = c
+                break
+        if chunk and r_pad % chunk:
+            r_pad = -(-r_pad // chunk) * chunk  # extra pad rays: all-dead
+    use_pc = do_split and chunk > 0
+
     sg = jax.lax.stop_gradient
     padf = lambda a: jnp.pad(sg(a), (0, r_pad - r)) if r_pad != r else sg(a)
     o_in = tuple(padf(c) for c in o)
@@ -147,27 +183,182 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     geom = sg(build_geom_rows(gs))
     gmx = sg(build_geom_mxu(gs))
     ts, trt = build_tables_T(gs)
-
-    # Survivor compaction (the big forward lever): on the demo scene only
-    # ~20% of rays survive bounce 1 and ~9% survive bounce 2, but the
-    # survivors are scattered, so per-tile early-exit inside one kernel
-    # saves nothing.  Instead split the trace at bounce S: phase A runs
-    # bounces [0, S) for all rays, then the survivors are stably
-    # partitioned to the front (cumsum + scatter) and phase B runs
-    # bounces [S, depth) with whole-tile skip past the alive prefix
-    # (n_alive scalar in SMEM).  Per-ray RNG keys are (pixel, sample,
-    # bounce)-based, so radiance is bitwise invariant to the permutation;
-    # hit planes are unpermuted before returning, so the backward replay
-    # is completely unchanged.  POCA_MEGA_SPLIT sets S (0 disables).
-    # S=2 measured best on the demo scene (fwd 33.7 -> 20.4 ms/sample at
-    # 1024^2, v5e): alive fraction is 19.8% after bounce 1 but 8.8% after
-    # bounce 2, and the second bounce's full-width cost is cheaper than
-    # running bounces 2..7 on 2.25x more tiles.
-    split_env = os.environ.get("POCA_MEGA_SPLIT", "2")
-    split = int(split_env) if split_env.lstrip("-").isdigit() else 2
-    do_split = 0 < split and depth - split >= 2 and r_pad >= 4 * tile
     seed_in = sg(jnp.asarray(seed, jnp.int32))
-    if do_split:
+    if use_pc:
+        (rad_a, d_a, thru_a, missed_a, first_n, first_t, hit_a, aux_a,
+         o_a) = pallas_mega_trace(
+            o_in, d_in, pix_in, samp_in, seed_in,
+            geom, gmx, sg(ts), sg(trt),
+            counts=gs.counts, depth=split, tile=tile, interpret=interpret,
+            with_aux=with_aux, with_o=True,
+        )
+        from cpppathtracer_tpu.ops.pallas.compact_kernel import (
+            FILL_ONE_F32,
+            stream_compact,
+            stream_expand,
+        )
+
+        payloads = (pix_in, samp_in) + o_a + d_a + thru_a + (missed_a,)
+        fills = (-1, -1) + (0,) * 9 + (FILL_ONE_F32,)
+        comp, offs, nal = stream_compact(
+            missed_a, payloads, fills=fills, chunk=chunk,
+            interpret=interpret,
+        )
+        bc = lambda p: jax.lax.bitcast_convert_type(comp[p], jnp.float32)
+        pix_s, samp_s = comp[0], comp[1]
+        o_s = (bc(2), bc(3), bc(4))
+        d_s = (bc(5), bc(6), bc(7))
+        thru_s = (bc(8), bc(9), bc(10))
+        missedc = bc(11)
+        pos_plane = comp[12]
+        n_alive = nal[0]
+        nb = depth - split
+
+        def run_b(o_b, d_b, thru_b, pix_b, samp_b, amask_b, n_alive_b,
+                  depth_b):
+            return pallas_mega_trace(
+                o_b, d_b, pix_b, samp_b, seed_in,
+                geom, gmx, sg(ts), sg(trt),
+                counts=gs.counts, depth=depth_b, tile=tile,
+                interpret=interpret, with_aux=with_aux,
+                start_bounce=split,
+                thru=thru_b, n_alive=n_alive_b, alive_mask=amask_b,
+            )
+
+        # Static-prefix ladder (see the sort path below for rationale):
+        # B1 covers the first quarter; B2 runs under lax.cond only when
+        # the packed alive prefix spills past it (alive fraction on the
+        # demo scene is ~20% after bounce 2, so B2 is usually skipped).
+        r_q = (r_pad // 4) // tile * tile
+        ladder_env = os.environ.get("POCA_MEGA_LADDER", "")
+        use_ladder = (
+            r_q >= tile and r_pad - r_q >= tile
+            and (ladder_env == "1" if ladder_env in ("0", "1")
+                 else not interpret)
+        )
+        if use_ladder:
+            pre = lambda a: a[:r_q]
+            suf = lambda a: a[r_q:]
+            outs_b1 = run_b(
+                tuple(pre(c) for c in o_s), tuple(pre(c) for c in d_s),
+                tuple(pre(c) for c in thru_s), pre(pix_s), pre(samp_s),
+                pre(missedc), n_alive, nb,
+            )
+            suf_ops = (
+                tuple(suf(c) for c in o_s), tuple(suf(c) for c in d_s),
+                tuple(suf(c) for c in thru_s), suf(pix_s), suf(samp_s),
+                suf(missedc), n_alive - r_q,
+            )
+
+            def b2_live(ops):
+                o_b, d_b, thru_b, pix_b, samp_b, am_b, na = ops
+                outs = run_b(o_b, d_b, thru_b, pix_b, samp_b, am_b, na, nb)
+                return outs[:7] + (() if outs[7] is None else outs[7],)
+
+            def b2_skip(ops):
+                r_s = r_pad - r_q
+                z = jnp.zeros((r_s,), jnp.float32)
+                z3 = (z, z, z)
+                hits = tuple(
+                    jnp.full((r_s,), -1, jnp.int32) for _ in range(nb)
+                )
+                aux0 = (
+                    tuple((z3, z) for _ in range(nb)) if with_aux else ()
+                )
+                return (z3, z3, z3, z, z3, z, hits, aux0)
+
+            outs_b2 = jax.lax.cond(
+                n_alive > r_q, b2_live, b2_skip, suf_ops
+            )
+            cat = lambda a, b: jnp.concatenate([a, b])
+            cat3 = lambda a, b: tuple(cat(a[i], b[i]) for i in range(3))
+            rad_b = cat3(outs_b1[0], outs_b2[0])
+            md_b = cat3(outs_b1[1], outs_b2[1])
+            mt_b = cat3(outs_b1[2], outs_b2[2])
+            missed_b = cat(outs_b1[3], outs_b2[3])
+            hit_b = tuple(
+                cat(h1, h2) for h1, h2 in zip(outs_b1[6], outs_b2[6])
+            )
+            aux_b = None
+            if with_aux:
+                aux_b = tuple(
+                    (cat3(p1, p2), cat(a1, a2))
+                    for (p1, a1), (p2, a2) in zip(outs_b1[7], outs_b2[7])
+                )
+        else:
+            (rad_b, md_b, mt_b, missed_b, _fn_b, _ft_b, hit_b, aux_b) = (
+                run_b(o_s, d_s, thru_s, pix_s, samp_s, missedc, n_alive, nb)
+            )
+
+        # Expansion back to original lane order.  Hit planes ride as
+        # 16-bit pairs ((enc+1) halves); the 0 fill unpacks to -1 (miss).
+        n_padt = ts.shape[1]
+        if n_padt >= 2 ** 15:  # sign-extension on the arithmetic unpack
+            raise ValueError(
+                f"hit-plane pair packing requires n_pad < 2^15, got {n_padt}"
+            )
+        packed = []
+        for i in range(0, nb - 1, 2):
+            packed.append(((hit_b[i] + 1) << 16) | (hit_b[i + 1] + 1))
+        if nb % 2:
+            packed.append(hit_b[nb - 1] + 1)
+        aux_flat = []
+        if with_aux:
+            aux_flat = [
+                c for p, att in aux_b for c in (p[0], p[1], p[2], att)
+            ]
+        planes_b = (
+            list(rad_b) + list(md_b) + list(mt_b) + [missed_b]
+            + packed + aux_flat
+        )
+        bci = lambda p: (
+            p if p.dtype == jnp.int32
+            else jax.lax.bitcast_convert_type(p, jnp.int32)
+        )
+        np2 = len(planes_b) + 1
+        np2_pad = -(-np2 // 8) * 8
+        stack = jnp.concatenate(
+            [bci(p)[None] for p in planes_b] + [pos_plane[None]]
+            + ([jnp.zeros((np2_pad - np2, r_pad), jnp.int32)]
+               if np2_pad != np2 else []),
+            axis=0,
+        )
+        dtypes = (
+            (jnp.float32,) * 10 + (jnp.int32,) * len(packed)
+            + (jnp.float32,) * len(aux_flat)
+        )
+        fills2 = (0,) * len(planes_b)
+        outs_u = stream_expand(
+            missed_a, stack, offs, dtypes=dtypes, fills=fills2,
+            chunk=chunk, interpret=interpret,
+        )
+        rad_bu = outs_u[0:3]
+        md_bu = outs_u[3:6]
+        mt_bu = outs_u[6:9]
+        missed_bu = outs_u[9]
+        hp = outs_u[10:10 + len(packed)]
+        hit_bu = []
+        for i in range(0, nb - 1, 2):
+            w = hp[i // 2]
+            hit_bu.append((w >> 16) - 1)
+            hit_bu.append((w & 0xFFFF) - 1)
+        if nb % 2:
+            hit_bu.append(hp[-1] - 1)
+        a_dead = missed_a > 0.0
+        sel = jnp.where
+        rad = tuple(rad_a[i] + rad_bu[i] for i in range(3))
+        miss_dir = tuple(sel(a_dead, d_a[i], md_bu[i]) for i in range(3))
+        miss_thru = tuple(sel(a_dead, thru_a[i], mt_bu[i]) for i in range(3))
+        missed = missed_a + missed_bu
+        hit_idx = hit_a + tuple(hit_bu)
+        aux = None
+        if with_aux:
+            af = outs_u[10 + len(packed):]
+            aux = aux_a + tuple(
+                ((af[b * 4], af[b * 4 + 1], af[b * 4 + 2]), af[b * 4 + 3])
+                for b in range(nb)
+            )
+    elif do_split:
         (rad_a, d_a, thru_a, missed_a, first_n, first_t, hit_a, aux_a,
          o_a) = pallas_mega_trace(
             o_in, d_in, pix_in, samp_in, seed_in,

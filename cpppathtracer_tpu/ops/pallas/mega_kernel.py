@@ -76,17 +76,23 @@ def _uniforms3(seed_u32, pix, samp, ctr):
 
 def _mega_kernel(
     counts, depth, n_pad, with_aux, start_bounce, with_o, guarded,
+    has_amask,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tx0_ref, tx1_ref, tx2_ref,
     pix_ref, samp_ref, seed_ref,
     geom_ref, gmx_ref, ts_ref, tr_ref,
-    rad0_ref, rad1_ref, rad2_ref,
-    md0_ref, md1_ref, md2_ref,
-    mt0_ref, mt1_ref, mt2_ref,
-    missed_ref,
-    fn0_ref, fn1_ref, fn2_ref, ft_ref,
-    *out_refs,
+    *rest_refs,
 ):
+    # optional compacted-phase per-lane alive mask (stream bubbles and
+    # phase-A dead lanes read as 1.0 = dead); see ops/pallas/compact_kernel
+    if has_amask:
+        amask_ref, *rest_refs = rest_refs
+    (rad0_ref, rad1_ref, rad2_ref,
+     md0_ref, md1_ref, md2_ref,
+     mt0_ref, mt1_ref, mt2_ref,
+     missed_ref,
+     fn0_ref, fn1_ref, fn2_ref, ft_ref,
+     *out_refs) = rest_refs
     # out_refs: [o0,o1,o2 if with_o] + depth hit planes + (with_aux:
     # depth x (px, py, pz, att) planes — per-bounce hit positions +
     # attenuation-on masks for the textured-albedo epilogue, ops/mega.py).
@@ -140,6 +146,8 @@ def _mega_kernel(
         if guarded:
             lane = tile_start + jax.lax.broadcasted_iota(jnp.int32, (tr,), 0)
             alive0 = lane < n_alive
+            if has_amask:
+                alive0 = alive0 & (amask_ref[...] == 0.0)
         else:
             alive0 = zero < 1.0  # all True
         alive = alive0
@@ -282,7 +290,7 @@ def build_tables_T(gs):
 def pallas_mega_trace(
     o, d, pixel_idx, sample_idx, seed, geom, gmx, ts, trt,
     *, counts, depth, tile=1024, interpret=False, with_aux=False,
-    start_bounce=0, with_o=False, thru=None, n_alive=None,
+    start_bounce=0, with_o=False, thru=None, n_alive=None, alive_mask=None,
 ):
     """Run the full bounce loop for planar rays (o, d tuples of f32[R]).
 
@@ -311,6 +319,8 @@ def pallas_mega_trace(
     n_aux = 4 * depth if with_aux else 0
     n_o = 3 if with_o else 0
     guarded = n_alive is not None
+    has_amask = alive_mask is not None
+    assert not has_amask or guarded
     if thru is None:
         ones = jnp.ones((r,), jnp.float32)
         thru = (ones, ones, ones)
@@ -318,10 +328,11 @@ def pallas_mega_trace(
         jnp.asarray(seed, jnp.int32),
         jnp.asarray(n_alive if guarded else r, jnp.int32),
     ])
+    amask_in = (alive_mask,) if has_amask else ()
     outs = pl.pallas_call(
         functools.partial(
             _mega_kernel, counts, depth, n_pad, with_aux, start_bounce,
-            with_o, guarded,
+            with_o, guarded, has_amask,
         ),
         grid=(r // tile,),
         in_specs=[spec1d] * 11
@@ -331,7 +342,8 @@ def pallas_mega_trace(
             whole((m, 11)),
             whole(ts.shape),
             whole(trt.shape),
-        ],
+        ]
+        + [spec1d] * len(amask_in),
         out_specs=[spec1d] * (14 + n_o + depth + n_aux),
         out_shape=[f1] * 14 + [f1] * n_o + [i1] * depth + [f1] * n_aux,
         interpret=interpret,
@@ -340,6 +352,7 @@ def pallas_mega_trace(
         thru[0], thru[1], thru[2],
         pixel_idx, sample_idx, sc,
         geom, gmx, ts, trt,
+        *amask_in,
     )
     rad = tuple(outs[0:3])
     miss_dir = tuple(outs[3:6])

@@ -173,20 +173,24 @@ def test_mega_pallas_bwd_matches_xla_replay(_mega_env, monkeypatch):
 
 
 def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
-    # The survivor-compaction split (phase A + sort partition + guarded
-    # phase B + static-prefix ladder, ops/mega.py) must be radiance- and
+    # The survivor-compaction split (phase A + stream-compaction partition
+    # + guarded phase B + static-prefix ladder, ops/mega.py +
+    # ops/pallas/compact_kernel.py) must be radiance- and
     # hit-plane-identical to the single-kernel trace: per-ray RNG keys
     # make the result permutation-invariant.  Small CPU tests never
     # reach the split (r_pad < 4 tiles), so this one renders 64x64 and
-    # forces the ladder on.
+    # forces the ladder on.  NOTE max_depth=4: the split needs
+    # depth - split >= 2 bounces in phase B (depth 3 + split 2 silently
+    # disables it).
     _mega_env(True)
     scene = _controlled_scene()
     cam = Camera.make(64, 64, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
     sky = jnp.asarray(procedural_sky(8, 8))
 
-    def render():
+    def render(spp=1, spp_chunk=1):
         rad, n0, t0 = render_radiance(
-            scene, cam, sky, spp=1, max_depth=3, seed=3
+            scene, cam, sky, spp=spp, max_depth=4, seed=3,
+            spp_chunk=spp_chunk,
         )
         return np.asarray(rad), np.asarray(n0), np.asarray(t0)
 
@@ -199,10 +203,30 @@ def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
     np.testing.assert_array_equal(n0_1, n0_0)
     np.testing.assert_array_equal(t0_1, t0_0)
 
-    # explicit pixel_idx (iota_rn=0): the partition sort carries pix/samp
+    # both partition mechanisms agree bitwise (pallas stream compaction
+    # is the default; "sort" is the r4 lax.sort fallback)
+    monkeypatch.setenv("POCA_MEGA_COMPACT", "sort")
+    rad1s, _, _ = render()
+    np.testing.assert_array_equal(rad1s, rad0)
+    monkeypatch.delenv("POCA_MEGA_COMPACT")
+
+    # explicit pixel_idx (iota_rn=0): the partition carries pix/samp
     # payloads instead of reconstructing them — same result bit-for-bit
     pix = jnp.arange(64 * 64, dtype=jnp.int32)
     rad2, _, _ = [np.asarray(a) for a in render_radiance(
-        scene, cam, sky, spp=1, max_depth=3, seed=3, pixel_idx=pix
+        scene, cam, sky, spp=1, max_depth=4, seed=3, pixel_idx=pix
     )]
     np.testing.assert_array_equal(rad2, rad0)
+
+    # spp_chunk > 1 (ADVICE r4): the [C*R] ray batch with per-ray sample
+    # indices must survive the split partition bit-for-bit.  (Chunked vs
+    # UNchunked is only ulp-close on CPU — the r vs C*r shapes fuse
+    # differently — so that pair gets allclose; the split property itself
+    # is exact.)
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "0")
+    rad4_0, _, _ = render(spp=2, spp_chunk=1)
+    rad4_0c, _, _ = render(spp=2, spp_chunk=2)
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "2")
+    rad4_1c, _, _ = render(spp=2, spp_chunk=2)
+    np.testing.assert_allclose(rad4_0c, rad4_0, atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(rad4_1c, rad4_0c)
