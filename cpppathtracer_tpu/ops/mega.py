@@ -48,23 +48,20 @@ def _float0_zero(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
-def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
-                    with_aux=False):
-    """Plain-XLA reconstruction of the megakernel's outputs from the saved
-    winner indices.  Shares planar.gather_epilogue_p / planar.shade_p with
-    both the kernel (inlined) and the non-mega integrator body, so the
-    differentiated math is identical."""
-    o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
+def _replay_chain(gs, o, d, thru, rad, alive, hit_planes, pixel_idx,
+                  sample_idx, seed, start_bounce, with_aux):
+    """The replayed bounce chain [start_bounce, start_bounce + len(hit
+    _planes)): shared by the full-width replay and both halves of the
+    split replay.  Returns the updated carry plus per-bounce aux and the
+    first-bounce denoiser records (meaningful only when start_bounce==0).
+    """
     zero1 = o[0] * 0.0
-    one1 = zero1 + 1.0
-    thru = (one1, one1, one1)
-    rad = (zero1, zero1, zero1)
-    alive = zero1 < 1.0
     first_n = (zero1, zero1, zero1)
     first_t = zero1
     tmax = zero1 + jnp.float32(DEFAULT_RAY_TMAX)
     aux = []
-    for b in range(depth):
+    for i, enc in enumerate(hit_planes):
+        b = start_bounce + i
         tmin = zero1 + (0.0 if b == 0 else jnp.float32(BOUNCE_RAY_TMIN))
         # hit_idx is sign-encoded: winner index where the kernel saw a
         # hit, -1 on miss.  The replay recomputes the hit attributes from
@@ -73,7 +70,6 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
         # replayed path stays PHYSICAL; the saved sign only vetoes
         # false-positive continuations where FMA-contraction ulps at a
         # grazing tangency would revive a ray the kernel terminated.
-        enc = hit_idx[b]  # flat i32[R] plane (one per bounce)
         hitrec, mats = planar.gather_epilogue_p(
             gs, o, d, tmin, tmax, jnp.maximum(enc, 0)
         )
@@ -114,10 +110,198 @@ def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
         alive = alive & hit
         o = planar.where_p(hit, hitrec["pos"], o)
         d = planar.where_p(hit, planar.normalize_p(bounce_dir), d)
+    return o, d, thru, rad, alive, first_n, first_t, aux
+
+
+def _replay_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx, depth,
+                    with_aux=False):
+    """Plain-XLA reconstruction of the megakernel's outputs from the saved
+    winner indices.  Shares planar.gather_epilogue_p / planar.shade_p with
+    both the kernel (inlined) and the non-mega integrator body, so the
+    differentiated math is identical."""
+    o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
+    zero1 = o[0] * 0.0
+    one1 = zero1 + 1.0
+    thru = (one1, one1, one1)
+    rad = (zero1, zero1, zero1)
+    alive = zero1 < 1.0
+    _, d, thru, rad, alive, first_n, first_t, aux = _replay_chain(
+        gs, o, d, thru, rad, alive, tuple(hit_idx)[:depth], pixel_idx,
+        sample_idx, seed, 0, with_aux,
+    )
     missed = (~alive).astype(jnp.float32)
     if with_aux:
         return rad, d, thru, missed, first_n, first_t, tuple(hit_idx), tuple(aux)
     return rad, d, thru, missed, first_n, first_t
+
+
+def _replay_split_outputs(gs, camera, pixel_idx, sample_idx, seed, hit_idx,
+                          depth, split, chunk, interpret, with_aux=False):
+    """Survivor-compacted backward replay: bounces [0, split) run full
+    width, the alive rays are packed (ops/permute.py custom-vjp linear
+    maps, so cotangents route back through the same permutation) and
+    bounces [split, depth) replay at a static quarter width (lax.cond
+    falls back to full width if the packed prefix spills — gradients stay
+    exact).  Mirrors the forward megakernel split, so the post-split
+    shade/gather VJP chain — the dominant backward cost — runs on ~20%
+    of the lanes instead of all of them.  Output pytree and semantics are
+    identical to :func:`_replay_outputs` (values differ only in fp
+    summation grouping, exactly like the forward split does)."""
+    from cpppathtracer_tpu.ops.pallas.compact_kernel import (
+        FILL_ONE_F32,
+        stream_compact,
+        unstack_planes,
+    )
+    from cpppathtracer_tpu.ops.permute import (
+        apply_expand,
+        compact_mixed,
+    )
+
+    r = pixel_idx.shape[0]
+    r_pad = -(-r // chunk) * chunk
+    nb = depth - split
+
+    def pad(a, cv=0):
+        return (
+            jnp.pad(a, (0, r_pad - r), constant_values=cv)
+            if r_pad != r else a
+        )
+
+    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.int32),
+                            pixel_idx.shape)
+    pix_p = pad(pixel_idx)
+    samp_p = pad(samp)
+    hit_pad = [pad(h, -1) for h in hit_idx]
+
+    o, d = camera.ray_gen_planar(pixel_idx, sample_idx, seed)
+    # pad AFTER ray-gen (pad lanes are dead via enc=-1; dz=1 keeps their
+    # garbage math finite)
+    o = tuple(pad(c) for c in o)
+    d = (pad(d[0]), pad(d[1]), pad(d[2], 1.0))
+    zero1 = o[0] * 0.0
+    one1 = zero1 + 1.0
+    oA, dA, thruA, radA, aliveA, first_n, first_t, auxA = _replay_chain(
+        gs, o, d, (one1, one1, one1), (zero1, zero1, zero1), zero1 < 1.0,
+        tuple(hit_pad[:split]), pix_p, samp_p, seed, 0, with_aux,
+    )
+    missed_a = jax.lax.stop_gradient((~aliveA).astype(jnp.float32))
+    # ONE compaction kernel: differentiated state (o/d/thru at the split;
+    # dz fill keeps bubble math finite — bubbles have enc=-1 so they
+    # contribute nothing) + non-differentiated payloads (RNG keys + the
+    # post-split hit planes); the plan (pos/offs/n_alive) rides out of
+    # the same invocation.
+    planes_c, pos_c, offs, nal = compact_mixed(
+        missed_a,
+        oA + dA + thruA + (pix_p, samp_p) + tuple(hit_pad[split:]),
+        9,
+        (0, 0, 0, 0, 0, FILL_ONE_F32, 0, 0, 0) + (-1,) * (2 + nb),
+        chunk, interpret,
+    )
+    o_s = planes_c[0:3]
+    d_s = planes_c[3:6]
+    thru_s = planes_c[6:9]
+    pix_s, samp_s = planes_c[9], planes_c[10]
+    hit_s = planes_c[11:]
+
+    r_q = max(chunk, (r_pad // 4) // chunk * chunk)
+
+    # jax.checkpoint is load-bearing: under lax.cond, each branch's AD
+    # residuals become materialized cond OUTPUTS — including the [N, R]
+    # one-hot record-fetch intermediates (gigabytes at 1024^2, OOMs HBM).
+    # Remat makes the branch residual just its inputs; the transpose
+    # re-runs the quarter-width chain, which is the replay's normal mode
+    # (dots_saveable measured 1 ms/sample WORSE than plain remat here).
+    @jax.checkpoint
+    def b_chain(gs_, o_b, d_b, thru_b, pix_b, samp_b, hits_b):
+        z = o_b[0] * 0.0
+        _, d_f, thru_f, rad_f, alive_f, _fn, _ft, aux_f = _replay_chain(
+            gs_, o_b, d_b, thru_b, (z, z, z), z < 1.0, hits_b,
+            pix_b, samp_b, seed, split, with_aux,
+        )
+        missed_f = (~alive_f).astype(jnp.float32)
+        aux_flat = tuple(
+            c for p, att in aux_f for c in (p[0], p[1], p[2], att)
+        )
+        return (rad_f, d_f, thru_f, missed_f) + aux_flat
+
+    def b_quarter(args):
+        gs_, planes = args
+        sliced = jax.tree.map(lambda a: a[:r_q], planes)
+        outs = b_chain(gs_, *sliced)
+        padq = lambda a: jnp.pad(a, (0, r_pad - r_q))
+        return jax.tree.map(padq, outs)
+
+    def b_full(args):
+        gs_, planes = args
+        return b_chain(gs_, *planes)
+
+    b_args = (gs, (o_s, d_s, thru_s, pix_s, samp_s, hit_s))
+    if r_q < r_pad:
+        outs_b = jax.lax.cond(nal > r_q, b_full, b_quarter, b_args)
+    else:
+        outs_b = b_full(b_args)
+    rad_b, md_b, mt_b, missed_b = outs_b[0], outs_b[1], outs_b[2], outs_b[3]
+    aux_flat_b = outs_b[4:]
+
+    exp_planes = (
+        tuple(rad_b) + tuple(md_b) + tuple(mt_b) + (missed_b,)
+        + tuple(aux_flat_b)
+    )
+    n_exp = len(exp_planes)
+    outs_u = apply_expand(
+        missed_a, pos_c, offs, exp_planes,
+        (jnp.float32,) * n_exp, (0,) * n_exp, chunk, interpret,
+    )
+    rad_bu = outs_u[0:3]
+    md_bu = outs_u[3:6]
+    mt_bu = outs_u[6:9]
+    missed_bu = outs_u[9]
+    a_dead = missed_a > 0.0
+    sl = lambda a: a[:r] if r_pad != r else a
+    rad = tuple(sl(radA[i] + rad_bu[i]) for i in range(3))
+    miss_dir = tuple(sl(jnp.where(a_dead, dA[i], md_bu[i])) for i in range(3))
+    miss_thru = tuple(
+        sl(jnp.where(a_dead, thruA[i], mt_bu[i])) for i in range(3)
+    )
+    missed = sl(missed_a + missed_bu)
+    first_n = tuple(sl(c) for c in first_n)
+    first_t = sl(first_t)
+    if with_aux:
+        aux = tuple(
+            (tuple(sl(c) for c in p), sl(att)) for p, att in auxA
+        ) + tuple(
+            (
+                (sl(outs_u[10 + b * 4]), sl(outs_u[10 + b * 4 + 1]),
+                 sl(outs_u[10 + b * 4 + 2])),
+                sl(outs_u[10 + b * 4 + 3]),
+            )
+            for b in range(nb)
+        )
+        return (rad, miss_dir, miss_thru, missed, first_n, first_t,
+                tuple(hit_idx), aux)
+    return rad, miss_dir, miss_thru, missed, first_n, first_t
+
+
+def _split_plan(r, depth):
+    """The survivor-compaction plan shared by the forward kernel split
+    and the backward split replay: (split bounce S, compaction chunk).
+    chunk == 0 means the stream-compaction path is off (unsplit, or the
+    lax.sort fallback was forced via POCA_MEGA_COMPACT=sort)."""
+    from cpppathtracer_tpu.ops.fast import _pick_tile
+
+    mega_tile = int(os.environ.get("POCA_MEGA_TILE", "0")) or _MEGA_TILE
+    tile = min(mega_tile, _pick_tile(r))
+    r_pad = -(-r // tile) * tile
+    split_env = os.environ.get("POCA_MEGA_SPLIT", "2")
+    split = int(split_env) if split_env.lstrip("-").isdigit() else 2
+    do_split = 0 < split and depth - split >= 2 and r_pad >= 4 * tile
+    chunk = 0
+    if do_split and os.environ.get("POCA_MEGA_COMPACT", "") != "sort":
+        for c in (8192, 4096, 2048, 1024):
+            if r_pad >= 4 * c or (c == 1024 and r_pad >= c):
+                chunk = c
+                break
+    return split, chunk
 
 
 def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
@@ -155,22 +339,13 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
     # bounce 1 but 8.8% after bounce 2, and the second bounce's
     # full-width cost is cheaper than running bounces 2..7 on 2.25x more
     # tiles.
-    split_env = os.environ.get("POCA_MEGA_SPLIT", "2")
-    split = int(split_env) if split_env.lstrip("-").isdigit() else 2
-    do_split = 0 < split and depth - split >= 2 and r_pad >= 4 * tile
-    # Partition mechanism: "pallas" (default) = O(R) stream-compaction
-    # kernels (ops/pallas/compact_kernel.py; 11.4 -> ~5 ms/sample measured
-    # r5); "sort" = the r4 lax.sort pair (kept as a fallback and for
-    # shapes the chunked compaction cannot cover).
-    pc_env = os.environ.get("POCA_MEGA_COMPACT", "")
-    chunk = 0
-    if do_split and pc_env != "sort":
-        for c in (8192, 4096, 2048, 1024):
-            if r_pad >= 4 * c or (c == 1024 and r_pad >= c):
-                chunk = c
-                break
-        if chunk and r_pad % chunk:
-            r_pad = -(-r_pad // chunk) * chunk  # extra pad rays: all-dead
+    split, chunk = _split_plan(r, depth)
+    do_split = (
+        0 < split and depth - split >= 2 and r_pad >= 4 * tile
+        and os.environ.get("POCA_MEGA_SPLIT", "2") != "0"
+    )
+    if chunk and r_pad % chunk:
+        r_pad = -(-r_pad // chunk) * chunk  # extra pad rays: all-dead
     use_pc = do_split and chunk > 0
 
     sg = jax.lax.stop_gradient
@@ -204,13 +379,20 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
             missed_a, payloads, fills=fills, chunk=chunk,
             interpret=interpret,
         )
-        bc = lambda p: jax.lax.bitcast_convert_type(comp[p], jnp.float32)
-        pix_s, samp_s = comp[0], comp[1]
-        o_s = (bc(2), bc(3), bc(4))
-        d_s = (bc(5), bc(6), bc(7))
-        thru_s = (bc(8), bc(9), bc(10))
-        missedc = bc(11)
-        pos_plane = comp[12]
+        from cpppathtracer_tpu.ops.pallas.compact_kernel import (
+            unstack_planes,
+        )
+
+        up = unstack_planes(
+            comp,
+            (jnp.int32, jnp.int32) + (jnp.float32,) * 10 + (jnp.int32,),
+        )
+        pix_s, samp_s = up[0], up[1]
+        o_s = up[2:5]
+        d_s = up[5:8]
+        thru_s = up[8:11]
+        missedc = up[11]
+        pos_plane = up[12]
         n_alive = nal[0]
         nb = depth - split
 
@@ -610,11 +792,34 @@ def _mega_bwd(depth, interpret, with_aux, iota_rn, res, ct):
     hit_idx = tuple(flat(h) for h in hit_idx)
     ct = jax.tree.map(flat, ct)
 
-    def replay(gs_, camera_):
-        return _replay_outputs(
-            gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth,
-            with_aux=with_aux,
-        )
+    # Survivor-compacted replay (env POCA_MEGA_BWD_SPLIT=1): bounces >=
+    # split differentiate at ~quarter width, mirroring the forward split.
+    # MEASURED NEGATIVE on v5e at 1024^2x64spp (268.6 vs 282.7 Mrays/s):
+    # the quarter-width win (post-split chain 7.6 -> 4.4 ms/sample) is
+    # cancelled by the 4 stream-kernel invocations (~1.4 ms), the
+    # cond+remat double forward, and the lost cross-bounce XLA fusion of
+    # the straight-line full-width replay.  Kept env-gated (gradients
+    # verified equal) — it may win at deeper bounce counts or lower
+    # survivor fractions than the demo scene's 20%.
+    r = pixel_idx.shape[0]
+    split, chunk = _split_plan(r, depth)
+    use_split = (
+        chunk > 0
+        and os.environ.get("POCA_MEGA_BWD_SPLIT", "0") == "1"
+    )
+
+    if use_split:
+        def replay(gs_, camera_):
+            return _replay_split_outputs(
+                gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth,
+                split, chunk, interpret, with_aux=with_aux,
+            )
+    else:
+        def replay(gs_, camera_):
+            return _replay_outputs(
+                gs_, camera_, pixel_idx, sample_idx, seed, hit_idx, depth,
+                with_aux=with_aux,
+            )
 
     _, vjp_fn = jax.vjp(replay, gs, camera)
     gs_bar, cam_bar = vjp_fn(ct)

@@ -57,6 +57,21 @@ DEFAULT_CHUNK = 8192
 FILL_ONE_F32 = 0x3F800000
 
 
+def unstack_planes(comp, dtypes):
+    """Slice the first len(dtypes) rows of a [np_pad, R] compact stack as
+    flat 1D planes behind a layout firewall: a bare row slice rides as a
+    [1, R] {T(1,128)} value (1/8 VPU width) through every downstream
+    fusion — and through lax.cond boundaries — unless forced to a dense
+    {T(1024)} 1D layout here (one 4 MB relayout copy per plane)."""
+    out = []
+    for i, dt in enumerate(dtypes):
+        p = jax.lax.optimization_barrier(jnp.reshape(comp[i], (-1,)))
+        if dt == jnp.float32:
+            p = jax.lax.bitcast_convert_type(p, jnp.float32)
+        out.append(p)
+    return tuple(out)
+
+
 def _lane_iota(rows):
     return jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 

@@ -230,3 +230,27 @@ def test_mega_split_compaction_matches_unsplit(_mega_env, monkeypatch):
     rad4_1c, _, _ = render(spp=2, spp_chunk=2)
     np.testing.assert_allclose(rad4_0c, rad4_0, atol=1e-6, rtol=1e-6)
     np.testing.assert_array_equal(rad4_1c, rad4_0c)
+
+
+def test_mega_split_backward_matches_full(_mega_env, monkeypatch):
+    # The survivor-compacted backward replay (_replay_split_outputs:
+    # bounces >= split differentiate at quarter width through the
+    # custom-vjp permutation ops) must produce the same gradients as the
+    # full-width replay — up to fp summation grouping, since the compacted
+    # chain accumulates per-ray contributions in a different association.
+    _mega_env(True)
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "2")
+    scene = _controlled_scene()
+    cam = Camera.make(64, 64, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(8, 8))
+    loss = _render_loss(scene, cam, sky, spp=1, depth=4)
+    params = {"kd": scene.kd, "emission": scene.emission}
+
+    monkeypatch.setenv("POCA_MEGA_BWD_SPLIT", "0")
+    (l0, _), g0 = jax.value_and_grad(loss, has_aux=True)(params, scene, sky)
+    monkeypatch.setenv("POCA_MEGA_BWD_SPLIT", "1")
+    (l1, _), g1 = jax.value_and_grad(loss, has_aux=True)(params, scene, sky)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6, err_msg=k)
