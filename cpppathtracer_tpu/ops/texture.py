@@ -183,15 +183,16 @@ class PackedTexture:
 
 
 # The quad table folds FOLD consecutive quads into one wide row (the
-# sampler gathers the row and one-hot-selects the quad — exact 0/1 sum,
-# bit-identical to a direct fetch).  Tuning is config-dependent: at the
-# bench config (1024^2 x 64spp, 256^2 sky, v5e) FOLD=4 measured best
-# (215.0 -> 218.2 Mrays/s over FOLD=1), while a short spp-4 run slightly
-# favored FOLD=1 — keep 4, override with POCA_SKY_FOLD to re-tune
-# (read once at import).
+# sampler gathers the row and where-selects the quad — exact, bit-
+# identical to a direct fetch).  Tuning is config-dependent: with the r4
+# one-hot-reduce select, FOLD=4 measured best (218.2 vs 215.0 Mrays/s at
+# the bench config), but that formulation forced a [R, FOLD*16] relayout
+# copy; with the r5 where-chain select the copy is gone and FOLD=1 wins
+# (288.3 vs 275.7 FOLD=4 / 282.3 FOLD=2, 1024^2 x 64spp fwd+bwd, v5e).
+# Override with POCA_SKY_FOLD to re-tune (read once at import).
 import os as _os
 
-_FOLD = int(_os.environ.get("POCA_SKY_FOLD", "0")) or 4
+_FOLD = int(_os.environ.get("POCA_SKY_FOLD", "0")) or 1
 
 
 def pack_bilinear(tex) -> PackedTexture:
@@ -238,15 +239,18 @@ def sample_packed(pt: PackedTexture, u, v):
     yi = jnp.maximum(y0, 0.0).astype(jnp.int32)
     q = yi * w + xi
     wide = jnp.take(pt.data, q // _FOLD, axis=0)  # [R, FOLD*16]
-    # exact one-hot quad select: the in-lane quads are multiplied by 0.0
-    # or 1.0 and summed, so the result is bit-identical to a direct fetch
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], _FOLD), 1)
-        == (q % _FOLD)[..., None]
-    ).astype(jnp.float32)
-    row = jnp.sum(
-        wide.reshape(q.shape[0], _FOLD, 16) * onehot[..., None], axis=1
-    )  # [R,16]
+    # exact quad select: a where-chain over the FOLD in-row quads picks
+    # exact values (bit-identical to a direct fetch) and — unlike the
+    # previous one-hot multiply-reduce — consumes the gather's natural
+    # {1,0} layout: the reduce formulation made XLA materialize a
+    # transposed copy of the whole [R, FOLD*16] gather (1.2 ms/sample of
+    # pure relayout at 1024^2 on v5e).
+    qm = q % _FOLD
+    row = wide[:, 0:16]
+    for f in range(1, _FOLD):
+        row = jnp.where(
+            (qm == f)[..., None], wide[:, f * 16:(f + 1) * 16], row
+        )  # [R,16]
     top = row[..., 0:3] * (1.0 - fx) + row[..., 3:6] * fx
     bot = row[..., 6:9] * (1.0 - fx) + row[..., 9:12] * fx
     return top * (1.0 - fy) + bot * fy
