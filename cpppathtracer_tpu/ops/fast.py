@@ -545,17 +545,21 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
             sg = jax.lax.stop_gradient
             if r_pad != r:
                 pad = lambda a: jnp.pad(a, (0, r_pad - r))
-                # pad tmax with a NEGATIVE sentinel: zero-padded rays have
-                # d=(0,0,0) (slab-unconstrained on every axis), so with
-                # tmax=0 the pad lanes overlap every node and the last
-                # tile walks the whole tree; lo <= best_t < 0 can never
-                # hold, so sentinel lanes skip straight to escape.
+                # pad TMIN above the kernel's slab ceiling: zero-padded
+                # rays have d=(0,0,0), which the slab test treats as
+                # unconstrained on every axis (lo=-2·INF, hi=+2·INF), so
+                # neither a tmax nor a tmin sentinel at ±INF can prune
+                # them (r4 advisor: the old -INF tmax sentinel was a
+                # no-op).  With tmin = 4·INF the overlap term
+                # `hi >= tmin` is false at every node — pad lanes walk
+                # only the O(depth) escape chain.
                 padt = lambda a: jnp.pad(
-                    a, (0, r_pad - r), constant_values=-DEFAULT_RAY_TMAX
+                    a, (0, r_pad - r),
+                    constant_values=4.0 * DEFAULT_RAY_TMAX,
                 )
                 o_in = tuple(pad(sg(c)) for c in o)
                 d_in = tuple(pad(sg(c)) for c in d)
-                tmin_in, tmax_in = pad(sg(tmin)), padt(sg(tmax))
+                tmin_in, tmax_in = padt(sg(tmin)), pad(sg(tmax))
             else:
                 o_in = tuple(sg(c) for c in o)
                 d_in = tuple(sg(c) for c in d)

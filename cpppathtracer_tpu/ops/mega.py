@@ -66,14 +66,19 @@ def _replay_chain(gs, o, d, thru, rad, alive, hit_planes, pixel_idx,
         # hit_idx is sign-encoded: winner index where the kernel saw a
         # hit, -1 on miss.  The replay recomputes the hit attributes from
         # the saved index (differentiably — geometry grads flow through
-        # t/normal), and its own t < inf decides continuation so the
-        # replayed path stays PHYSICAL; the saved sign only vetoes
-        # false-positive continuations where FMA-contraction ulps at a
-        # grazing tangency would revive a ray the kernel terminated.
+        # t/normal) but the KERNEL's sign decides continuation outright:
+        # the forward value being differentiated came from the kernel's
+        # arithmetic, so on the rare lane where FMA-contraction ulps at a
+        # grazing tangency flip the recomputed t to a miss, following the
+        # recompute would differentiate a DIFFERENT bounce chain than the
+        # one that produced the value (and a different lane population
+        # than the textured-albedo epilogue, which gates on enc >= 0 —
+        # r4 advisor item).  gather_epilogue_p's t_safe/pos stay finite
+        # on such lanes (pos falls back to o), so no NaNs can flow.
         hitrec, mats = planar.gather_epilogue_p(
             gs, o, d, tmin, tmax, jnp.maximum(enc, 0)
         )
-        hit = hitrec["hit"] & (enc >= 0)
+        hit = enc >= 0
         u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + b)
         bounce_dir, attenuation, emitted, score_w = planar.shade_p(
             mats, hitrec["normal"], d, u1, u2, u3, with_score=True

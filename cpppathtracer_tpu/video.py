@@ -77,6 +77,10 @@ class AsyncFrameSink:
             if item is None:
                 return
             idx, img = item
+            # device arrays fetch HERE, off the render thread: the D2H
+            # copy + PNG encode overlap the next frame's dispatch (the
+            # reference's callback/UI-thread copy, video_renderer.cpp:129)
+            img = np.asarray(img)
             write_png(os.path.join(self.out_dir, f"{self.prefix}_{idx:05d}.png"), img)
 
     def put(self, idx: int, image: np.ndarray):
@@ -118,13 +122,27 @@ def render_video(
     # ONE compiled frame program reused across the path (camera pytrees
     # and the seed are dynamic args): rendering each frame eagerly costs
     # per-op dispatch — seconds per frame through a remote-TPU tunnel.
+    # The program is the WHOLE frame — integrate + denoise + rgb8 pack —
+    # so the render thread only dispatches and enqueues device arrays;
+    # the reference pays three kernel launches with device syncs between
+    # them plus a host-side byte pack per frame (path_tracer.cu:278-303).
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnames=("spp", "max_depth"))
-    def _render_frame(scene, cam, sky_tex, seed, *, spp, max_depth):
-        return render_radiance(
+    @_ft.partial(
+        jax.jit, static_argnames=("spp", "max_depth", "use_denoise")
+    )
+    def _frame_rgb8(scene, cam, sky_tex, seed, *, spp, max_depth,
+                    use_denoise):
+        rad, n0, t0 = render_radiance(
             scene, cam, sky_tex, spp=spp, max_depth=max_depth, seed=seed
         )
+        h, w = cam.height, cam.width
+        rad = rad.reshape(h, w, 3)
+        frame = (
+            denoise(rad, n0.reshape(h, w, 3), t0.reshape(h, w))
+            if use_denoise else rad
+        )
+        return (255.99 * jnp.clip(frame, 0.0, 1.0)).astype(jnp.uint8)
 
     try:
         for i, cam in enumerate(cameras):
@@ -133,15 +151,14 @@ def render_video(
                 rad, n0, t0 = render_image_sharded(
                     scene, cam, sky_tex, mesh, spp=spp, max_depth=max_depth, seed=seed + i
                 )
+                frame = _denoise(rad, n0, t0) if denoise_frames else rad
+                img = to_rgb8(frame)
             else:
-                rad, n0, t0 = _render_frame(
-                    scene, cam, sky_tex, seed + i, spp=spp, max_depth=max_depth
+                # async dispatch; the sink thread blocks on the bytes
+                img = _frame_rgb8(
+                    scene, cam, sky_tex, seed + i, spp=spp,
+                    max_depth=max_depth, use_denoise=denoise_frames,
                 )
-                rad = rad.reshape(h, w, 3)
-                n0 = n0.reshape(h, w, 3)
-                t0 = t0.reshape(h, w)
-            frame = _denoise(rad, n0, t0) if denoise_frames else rad
-            img = to_rgb8(frame)
             sink.put(i, img)
             paths.append(os.path.join(out_dir, f"frame_{i:05d}.png"))
     finally:

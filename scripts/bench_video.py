@@ -1,7 +1,7 @@
 """Config-5 record: motional-camera video throughput (BASELINE.json
 config 5 — 120 frames at 1024^2 x 128spp sharded across hosts; this
 harness runs a scaled-but-real orbit on whatever backend is live and
-writes VIDEO_r4.json with fps, rays/s and per-frame checksums).
+writes VIDEO_r5.json with fps, rays/s and per-frame checksums).
 
 Usage: python scripts/bench_video.py [--frames 24] [--size 1024]
        [--spp 16] [--depth 8]
@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "VIDEO_r4.json"))
+        "VIDEO_r5.json"))
     args = ap.parse_args()
 
     from cpppathtracer_tpu.models.camera import Camera
@@ -47,7 +47,7 @@ def main():
                          origin=(130.0, 103.0, 130.0),
                          look_at=(0.0, 0.0, 0.0))
     sky = jnp.asarray(procedural_sky(256, 256))
-    cams = orbit_path(camera, args.frames, degrees=90.0)
+    cams = orbit_path(camera, args.frames, degrees=360.0)
 
     out_dir = tempfile.mkdtemp(prefix="poca_video_")
     # warm the compile on frame 0 (the per-frame program is shared)

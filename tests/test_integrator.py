@@ -172,7 +172,13 @@ def test_demo_scene_vs_oracle():
     got_t = np.asarray(got_t).reshape(h, w)
 
     clean = ~fragile
-    assert clean.mean() >= 0.75, f"fragile population too large: {fragile.mean():.3f}"
+    # the oracle-measured fragile fraction is 0.193 at this config
+    # (16x12 x depth 3, seed 9); assert it near that value rather than
+    # giving it 2x slack (r4 verdict item 8) so a bug corrupting >22% of
+    # pixels cannot hide inside the exclusion mask
+    assert fragile.mean() <= 0.22, (
+        f"fragile population too large: {fragile.mean():.3f} (measured 0.193)"
+    )
     np.testing.assert_allclose(got_rad[clean], want_rad[clean], atol=1e-4)
     np.testing.assert_allclose(got_n[clean], want_n[clean], atol=1e-4)
     finite = clean & (want_t < 1e29)

@@ -254,3 +254,49 @@ def test_mega_split_backward_matches_full(_mega_env, monkeypatch):
     for k in g0:
         a, b = np.asarray(g0[k]), np.asarray(g1[k])
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_replay_trusts_kernel_hit_decision(_mega_env):
+    # Grazing-tangency consistency (r4 advisor / verdict item 7): when
+    # FMA-contraction ulps make the replay's recomputed t disagree with
+    # the kernel's saved sign-encoded decision, the KERNEL must win — the
+    # forward value (and the textured epilogue, which gates on enc >= 0)
+    # came from the kernel's chain, so the backward must differentiate
+    # the same lane population.  Simulate the disagreement outright: feed
+    # the replay a hit plane claiming a hit the recompute can never
+    # reproduce (a ray that misses every object) and assert the bounce is
+    # counted, outputs stay finite, and gradients carry no NaNs.
+    from cpppathtracer_tpu.ops import fast
+    from cpppathtracer_tpu.ops.mega import _replay_outputs
+
+    _mega_env(True)
+    scene = _controlled_scene()
+    gs = fast.group_scene(scene)
+    cam = Camera.make(8, 8, origin=(0.0, 50.0, 0.0), look_at=(0.0, 100.0, 0.0))
+    pix = jnp.arange(64, dtype=jnp.int32)
+    depth = 2
+    # rays point straight up from y=50: they miss everything
+    fake_hit = [jnp.ones((64,), jnp.int32), jnp.full((64,), -1, jnp.int32)]
+
+    def run(gs_):
+        rad, md, mt, missed, fn, ft = _replay_outputs(
+            gs_, cam, pix, 0, 0, fake_hit, depth
+        )
+        return rad, missed
+
+    rad, missed = run(gs)
+    assert np.isfinite(np.asarray(rad)).all()
+    # the claimed hit at bounce 0 keeps every lane alive there; the miss
+    # at bounce 1 then ends the path -> every lane counts as missed
+    np.testing.assert_array_equal(np.asarray(missed), 1.0)
+
+    g = jax.grad(lambda gs_: jnp.sum(planar_stack(run(gs_)[0])))(gs)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves
+               if np.asarray(l).dtype.kind == "f")
+
+
+def planar_stack(rad_p):
+    import jax.numpy as _jnp
+
+    return _jnp.stack(rad_p, axis=-1)
