@@ -30,14 +30,16 @@ import numpy as np
 
 from cpppathtracer_tpu.types import MaterialType, PrimitiveType
 
-# Dense-vs-BVH auto-attach point.  Measured on v5e (BVH_CROSSOVER.json,
-# r4): the dense matmul-form winner beats the traversal kernel at EVERY
-# size it can compile (0.73-0.93x BVH/dense through 2048 objects) and
-# VMEM-OOMs at ~3k objects, where the [M, TR] candidate block exceeds
-# the 16 MB scoped limit.  The BVH kernel is the scalability path, not a
-# speedup — so auto-attach only where dense stops compiling.
+# Dense-vs-BVH auto-attach point.  Measured on v5e (BVH_CROSSOVER.json):
+# the dense matmul-form winner beats the traversal kernel at EVERY size
+# it can compile (0.73-0.93x BVH/dense through 2048 objects) and
+# VMEM-OOMs where the [M, TR] candidate block exceeds the 16 MB scoped
+# limit.  r5 bisect: 2048 compiles, 2304 OOMs at 17.18 MB (interpolated
+# ceiling ~2146), so the threshold sits at the largest VERIFIED compile
+# — the r4 value of 3072 would have auto-picked a non-compiling dense
+# path for 2305..3071-object scenes (r4 advisor, medium).
 # scripts/bench_bvh.py refreshes the measurement.
-AUTO_BVH_THRESHOLD = 3072
+AUTO_BVH_THRESHOLD = 2048
 
 
 @jax.tree_util.register_dataclass
@@ -83,18 +85,21 @@ class Scene:
         """Attach skip-pointer BVH tables (host-side build — call OUTSIDE
         jit, on concrete arrays; rebuild after geometry edits).
 
-        leaf_size None = auto: grows with the scene so the node tables
-        (the traversal kernel keeps them in SMEM, 1 MB total on v5e)
-        stay ~<=512 nodes — a 4096-object scene at K=8 holds ~1k nodes
-        and overflows SMEM; K=16 halves it.  Leaves stay multiples of 8
-        for sublane alignment."""
+        leaf_size None = auto: K = max(32, ceil(N/256)).  The node-table
+        ceiling (~511 nodes: the traversal kernel keeps meta/aabb in
+        SMEM; M=1023 measured to overflow the scoped budget on v5e)
+        forces K to grow with the scene; below it, K=32 measured fastest
+        at every size (r5 leaf sweep at 512^2x2sppx4: 2048 objs
+        127 ms K=32 vs 145 ms K=8 — the slab walk's per-node scalar
+        overhead outweighs the extra leaf lanes).  Leaves stay multiples
+        of 8 for sublane alignment."""
         from cpppathtracer_tpu.ops.bvh import skip_bvh_tables
 
         if not self.type_perm:
             raise ValueError("with_bvh needs type-partition metadata")
         if leaf_size is None:
-            k = -(-self.num_objects // 256)  # ceil(N / 256) objs per leaf
-            leaf_size = max(8, -(-k // 8) * 8)  # rounded up to sublane x8
+            k = -(-self.num_objects // 256)  # node tables <= ~511
+            leaf_size = max(32, -(-k // 8) * 8)
         perm = np.asarray(self.type_perm, np.int32)
         g = lambda a: np.asarray(a)[perm]
         tables = skip_bvh_tables(

@@ -541,6 +541,15 @@ def intersect_and_gather_planar(gs: GroupedScene, o, d, tmin, tmax,
 
             r = tmin.shape[0]
             tile = int(os.environ.get("POCA_BVH_TILE", "0")) or _pick_tile(r)
+            # leaf evaluation holds ~15 live [K, tile] f32 intermediates
+            # in scoped VMEM (~60*K*tile bytes): cap the tile so K*tile
+            # stays <= 64Ki lanes (measured: K=32 x tile 8192 hits 19.5 MB
+            # vs the 16 MB scoped limit; K=32 x 2048 and K=8 x 8192 fit)
+            _, k_leaf = gs.bvh_dims
+            cap = 1024
+            while cap * 2 * max(k_leaf, 8) <= 65536:
+                cap *= 2
+            tile = min(tile, cap)
             r_pad = -(-r // tile) * tile
             sg = jax.lax.stop_gradient
             if r_pad != r:

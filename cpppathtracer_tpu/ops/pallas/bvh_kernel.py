@@ -201,7 +201,13 @@ def _bvh_kernel(
         nd_safe = jnp.minimum(node, m - 1)
         leaf = jnp.maximum(meta_ref[nd_safe, 1], 0)
         valid = node < m
-        rows = objs_ref[pl.ds(leaf * k, k), :]  # [K, 8]
+        # leaf rows via a leading-dim index of the [L, K, 8] view: the
+        # 2D form `objs_ref[pl.ds(leaf * k, k), :]` SILENTLY READS THE
+        # WRONG ROWS for k > 8 on real TPU (dynamic sublane slices wider
+        # than one 8-row group; observed as fabricated closer hits on
+        # 0.065% of primary rays at k=16/32 — interpret mode and k=8 are
+        # unaffected)
+        rows = objs_ref[leaf]  # [K, 8]
         t_cand = _leaf_candidates(rows, o, d, tmin, best_t)  # [K, TR]
         t_min = jnp.min(t_cand, axis=0)
         gidx = rows[:, 7:8].astype(jnp.int32)  # [K, 1]
@@ -233,10 +239,12 @@ def pallas_bvh_winner_index(
 
     o/d planar vec3 tuples of f32[R], R % tile == 0 (caller pads);
     node_meta i32[M, 2] / node_aabb f32[M, 8] live in SMEM (uniform
-    scalar reads); leaf_objs f32[L*K, 8] in VMEM.
+    scalar reads); leaf_objs f32[L*K, 8] in VMEM (passed to the kernel as
+    the [L, K, 8] view — see the leaf-read comment in the kernel body).
     """
     r = tmin.shape[0]
     assert r % tile == 0, (r, tile)
+    objs3 = leaf_objs.reshape(-1, k, 8)
     spec1d = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     whole = lambda shape: pl.BlockSpec(
@@ -245,9 +253,9 @@ def pallas_bvh_winner_index(
     return pl.pallas_call(
         functools.partial(_bvh_kernel, m, k),
         grid=(r // tile,),
-        in_specs=[spec1d] * 8 + [smem, smem, whole(leaf_objs.shape)],
+        in_specs=[spec1d] * 8 + [smem, smem, whole(objs3.shape)],
         out_specs=spec1d,
         out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
         interpret=interpret,
     )(o[0], o[1], o[2], d[0], d[1], d[2], tmin, tmax,
-      node_meta, node_aabb, leaf_objs)
+      node_meta, node_aabb, objs3)

@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--sizes", default="64,128,256,512,1024,2048")
+    ap.add_argument("--sizes", default="64,256,1024,1536,2048,4096,8192,16384")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BVH_CROSSOVER.json"))
@@ -63,20 +63,34 @@ def main():
             os.environ["POCA_BVH"] = "1" if mode == "bvh" else "0"
             jax.clear_caches()
             scene = big_scene(n, bvh=(mode == "bvh"))
-            times[mode] = time_render(scene, cam, sky, args.spp, args.depth)
+            try:
+                times[mode] = time_render(scene, cam, sky, args.spp, args.depth)
+            except Exception as e:
+                # dense VMEM-OOMs past ~2146 objects (the [M, TR]
+                # candidate block): record it and keep going — that is
+                # the crossover's far wall
+                times[mode] = None
+                print(f"N={n} {mode}: FAILED "
+                      f"({'VMEM OOM' if 'vmem' in str(e).lower() else str(e)[:80]})")
         rows.append({
             "n_objects": n,
             "dense_s": times["dense"],
             "bvh_s": times["bvh"],
-            "dense_mrays_s": rays / times["dense"] / 1e6,
-            "bvh_mrays_s": rays / times["bvh"] / 1e6,
-            "speedup": times["dense"] / times["bvh"],
+            "dense_mrays_s": (rays / times["dense"] / 1e6
+                              if times["dense"] else None),
+            "bvh_mrays_s": (rays / times["bvh"] / 1e6
+                            if times["bvh"] else None),
+            "speedup": (times["dense"] / times["bvh"]
+                        if times["dense"] and times["bvh"] else None),
         })
-        print(f"N={n:5d} dense={times['dense']*1e3:8.1f} ms "
-              f"bvh={times['bvh']*1e3:8.1f} ms "
-              f"speedup={times['dense']/times['bvh']:5.2f}x")
+        dd = f"{times['dense']*1e3:8.1f} ms" if times["dense"] else "  VMEM-OOM"
+        bb = f"{times['bvh']*1e3:8.1f} ms" if times["bvh"] else "  FAILED"
+        sp = (f"{times['dense']/times['bvh']:5.2f}x"
+              if times["dense"] and times["bvh"] else "  n/a")
+        print(f"N={n:5d} dense={dd} bvh={bb} speedup={sp}")
 
-    crossover = next((r["n_objects"] for r in rows if r["speedup"] > 1.0), None)
+    crossover = next((r["n_objects"] for r in rows
+                      if r["speedup"] and r["speedup"] > 1.0), None)
     result = {
         "backend": jax.default_backend(),
         "config": {"res": args.res, "spp": args.spp, "depth": args.depth},

@@ -19,8 +19,17 @@ measured below as `comm_bytes` per step, which at ICI bandwidths
 i.e. >=90% efficiency by construction on real hardware
 (`parallel/mesh.py` docstring walks the layout argument).
 
-Usage: python scripts/bench_scaling.py [--tile 64] [--spp 2] [--depth 4]
-Writes SCALING_r3.json at the repo root and prints the table.
+The r5 harness additionally measures, per device count:
+  - comm_step_s: a jitted shard_map step that ONLY psums the parameter
+    cotangent pytree over the mesh (the step's sole collective)
+  - dispatch_s: a jitted near-empty sharded program (fixed dispatch cost)
+and a single-core-PINNED n=1 baseline (taskset -c 0): with n=1, XLA CPU
+parallelizes one device's program across all host cores, so the unpinned
+t1 under-reports per-device step time and raw t1/tN misleads — the r4
+"n=2 raw 0.77 anomaly" is exactly this (VERDICT r4 item 5).
+
+Usage: python scripts/bench_scaling.py [--tile 256] [--spp 2] [--depth 4]
+Writes SCALING_r5.json at the repo root and prints the table.
 """
 
 from __future__ import annotations
@@ -71,12 +80,14 @@ def _step_time(fn, args, iters=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tile", type=int, default=64, help="pixels per device side")
+    ap.add_argument("--tile", type=int, default=256, help="pixels per device side")
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r3.json"))
+        "SCALING_r5.json"))
+    ap.add_argument("--single-core-probe", action="store_true",
+                    help="measure n=1 only and print one JSON line")
     args = ap.parse_args()
 
     devices = jax.devices()
@@ -87,6 +98,8 @@ def main():
     params = {k: params_all[k] for k in ("kd", "emission")}
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    if args.single_core_probe:
+        counts = [1]
     rows = []
     for n in counts:
         mesh = make_tile_mesh(devices[:n])
@@ -104,14 +117,76 @@ def main():
         comm_bytes = sum(
             int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(g)
         )
+        # decomposition: the step's only collective is the parameter-
+        # cotangent psum -> time it alone over the same mesh, plus a
+        # near-empty sharded program for the fixed dispatch cost
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        rep = NamedSharding(mesh, P())
+
+        @jax.jit
+        def psum_only(g_):
+            f = shard_map(
+                lambda x: jax.tree.map(
+                    lambda v: jax.lax.psum(v, ("ty", "tx")), x
+                ),
+                mesh=mesh, in_specs=P(), out_specs=P(),
+            )
+            return f(g_)
+
+        g_rep = jax.device_put(g, rep)
+        t_comm, _ = _step_time(psum_only, (g_rep,), iters=10)
+
+        @jax.jit
+        def near_empty(x):
+            f = shard_map(
+                lambda v: v + 1.0, mesh=mesh,
+                in_specs=P("ty", "tx"), out_specs=P("ty", "tx"),
+            )
+            return f(x)
+
+        tiny = jax.device_put(
+            jnp.zeros((ty * 8, tx * 128), jnp.float32),
+            NamedSharding(mesh, P("ty", "tx")),
+        )
+        t_disp, _ = _step_time(near_empty, (tiny,), iters=10)
+
         rays = h * w * args.spp * args.depth
         rows.append({
             "n_devices": n, "mesh": [ty, tx], "image": [h, w],
             "step_s": t, "rays_per_s": rays / t,
             "loss": float(lval), "comm_bytes": comm_bytes,
+            "comm_step_s": t_comm, "dispatch_s": t_disp,
+            "compute_s_est": t - t_comm,
         })
         print(f"n={n} mesh={ty}x{tx} image={h}x{w} step={t*1e3:.1f} ms "
-              f"rays/s={rays/t:.3g} comm={comm_bytes}B")
+              f"rays/s={rays/t:.3g} comm={comm_bytes}B "
+              f"comm_step={t_comm*1e3:.2f}ms dispatch={t_disp*1e3:.2f}ms")
+
+    if args.single_core_probe:
+        print(json.dumps({"t1_pinned_s": rows[0]["step_s"]}))
+        return
+
+    # single-core-pinned n=1 baseline (see module docstring)
+    t1_pinned = None
+    if jax.default_backend() == "cpu":
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", "0", sys.executable,
+                 os.path.abspath(__file__), "--single-core-probe",
+                 "--tile", str(args.tile), "--spp", str(args.spp),
+                 "--depth", str(args.depth)],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "PYTHONPATH": ""},
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    t1_pinned = json.loads(line).get("t1_pinned_s")
+        except Exception as e:  # pragma: no cover - probe is best-effort
+            print(f"single-core probe failed: {e}", file=sys.stderr)
 
     t1 = rows[0]["step_s"]
     for r in rows:
@@ -128,11 +203,19 @@ def main():
         r["efficiency_core_adjusted_simulation_bound"] = (
             (t1 / r["step_s"]) / min(1.0, cores / n)
         )
+        if t1_pinned is not None:
+            # per-core weak scaling: ideal t_n on this host is the pinned
+            # single-core per-device time, times the time-slicing factor
+            # n/cores once devices outnumber cores
+            r["efficiency_vs_pinned_core"] = (
+                t1_pinned * max(1.0, n / cores) / r["step_s"]
+            )
 
     result = {
         "backend": jax.default_backend(),
         "n_devices_available": len(devices),
         "host_cores": cores,
+        "t1_pinned_single_core_s": t1_pinned,
         "config": {"tile": args.tile, "spp": args.spp, "depth": args.depth},
         "mode": "weak-scaling (constant per-device tile)",
         "primary_metric": "efficiency (raw t1/tn; core-oversubscribed)",
