@@ -423,14 +423,174 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
             and (ladder_env == "1" if ladder_env in ("0", "1")
                  else not interpret)
         )
+        # Second-level split: the packed prefix still carries every ray
+        # alive after bounce S, but only ~7-9% of rays survive bounce
+        # S+2 — so inside the ladder's prefix, run bounces [S, S+2) at
+        # quarter width, re-pack the survivors, and run the remaining
+        # bounces on a half-of-quarter static prefix (cond spill to the
+        # full quarter keeps it exact).  POCA_MEGA_SPLIT2=0 disables.
+        chunk2 = next(
+            (c for c in (chunk, 4096, 2048, 1024)
+             if c <= chunk and r_q and r_q % c == 0), 0,
+        )
+        sp2_env = os.environ.get("POCA_MEGA_SPLIT2", "")
+        use_split2 = (
+            use_ladder and nb >= 4 and chunk2 > 0
+            and (sp2_env == "1" if sp2_env in ("0", "1") else True)
+        )
+
+        def run_b_nested(o_b, d_b, thru_b, pix_b, samp_b, amask_b,
+                         n_alive_b):
+            outs1 = pallas_mega_trace(
+                o_b, d_b, pix_b, samp_b, seed_in,
+                geom, gmx, sg(ts), sg(trt),
+                counts=gs.counts, depth=2, tile=tile,
+                interpret=interpret, with_aux=with_aux,
+                start_bounce=split,
+                thru=thru_b, n_alive=n_alive_b, alive_mask=amask_b,
+                with_o=True,
+            )
+            (rad1, md1, mt1, missed1, _f1, _t1, hit1, aux1, o2) = outs1
+            lane = jnp.arange(r_q, dtype=jnp.int32)
+            alive2 = (
+                (lane < n_alive_b) & (amask_b == 0.0) & (missed1 == 0.0)
+            )
+            mask2 = 1.0 - alive2.astype(jnp.float32)
+            payl2 = (
+                (pix_b, samp_b) + o2 + md1 + mt1 + (mask2,)
+            )
+            fl2 = (-1, -1, 0, 0, 0, 0, 0, FILL_ONE_F32, 0, 0, 0,
+                   FILL_ONE_F32)
+            comp2, offs2, nal2v = stream_compact(
+                mask2, payl2, fills=fl2, chunk=chunk2, interpret=interpret,
+            )
+            up2 = unstack_planes(
+                comp2,
+                (jnp.int32, jnp.int32) + (jnp.float32,) * 10
+                + (jnp.int32,),
+            )
+            pix2, samp2 = up2[0], up2[1]
+            o2s, d2s, thru2s = up2[2:5], up2[5:8], up2[8:11]
+            mask2c = up2[11]
+            pos2 = up2[12]
+            nal2 = nal2v[0]
+            nb2 = nb - 2
+            r_q2 = max(chunk2, (r_q // 2) // tile * tile)
+
+            def run2(o_c, d_c, thru_c, pix_c, samp_c, am_c, na_c):
+                return pallas_mega_trace(
+                    o_c, d_c, pix_c, samp_c, seed_in,
+                    geom, gmx, sg(ts), sg(trt),
+                    counts=gs.counts, depth=nb2, tile=tile,
+                    interpret=interpret, with_aux=with_aux,
+                    start_bounce=split + 2,
+                    thru=thru_c, n_alive=na_c, alive_mask=am_c,
+                )
+
+            if r_q2 < r_q:
+                pre2 = lambda a: a[:r_q2]
+                ops2 = (o2s, d2s, thru2s, pix2, samp2, mask2c)
+
+                def s2_prefix(ops):
+                    o_c, d_c, thru_c, pix_c, samp_c, am_c = jax.tree.map(
+                        pre2, ops
+                    )
+                    outs = run2(o_c, d_c, thru_c, pix_c, samp_c, am_c,
+                                nal2)
+                    padq = lambda a: jnp.pad(
+                        a, (0, r_q - r_q2),
+                        constant_values=(-1 if a.dtype == jnp.int32 else 0),
+                    )
+                    flat = (outs[:4] + outs[6]
+                            + (tuple(c for p, a_ in outs[7]
+                                     for c in (p[0], p[1], p[2], a_))
+                               if with_aux else ()))
+                    return jax.tree.map(padq, flat)
+
+                def s2_full(ops):
+                    o_c, d_c, thru_c, pix_c, samp_c, am_c = ops
+                    outs = run2(o_c, d_c, thru_c, pix_c, samp_c, am_c,
+                                nal2)
+                    return (outs[:4] + outs[6]
+                            + (tuple(c for p, a_ in outs[7]
+                                     for c in (p[0], p[1], p[2], a_))
+                               if with_aux else ()))
+
+                outs2f = jax.lax.cond(nal2 > r_q2, s2_full, s2_prefix,
+                                      ops2)
+            else:
+                outs = run2(o2s, d2s, thru2s, pix2, samp2, mask2c, nal2)
+                outs2f = (outs[:4] + outs[6]
+                          + (tuple(c for p, a_ in outs[7]
+                                   for c in (p[0], p[1], p[2], a_))
+                             if with_aux else ()))
+            rad2c, md2c, mt2c = outs2f[0], outs2f[1], outs2f[2]
+            missed2c_out = outs2f[3]
+            hit2c = outs2f[4:4 + nb2]
+            aux2c = outs2f[4 + nb2:]
+            # expand stage-2 outputs back to the quarter domain
+            exp2 = (
+                tuple(rad2c) + tuple(md2c) + tuple(mt2c)
+                + (missed2c_out,) + tuple(hit2c) + tuple(aux2c)
+            )
+            n2 = len(exp2)
+            bci2 = lambda p: (
+                p if p.dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(p, jnp.int32)
+            )
+            np2p = -(-(n2 + 1) // 8) * 8
+            stack2 = jnp.concatenate(
+                [bci2(p)[None] for p in exp2] + [pos2[None]]
+                + ([jnp.zeros((np2p - n2 - 1, r_q), jnp.int32)]
+                   if np2p != n2 + 1 else []),
+                axis=0,
+            )
+            dt2 = (
+                (jnp.float32,) * 10 + (jnp.int32,) * nb2
+                + (jnp.float32,) * len(aux2c)
+            )
+            fl2o = (0,) * 10 + (-1,) * nb2 + (0,) * len(aux2c)
+            outs2u = stream_expand(
+                mask2, stack2, offs2, dtypes=dt2, fills=fl2o,
+                chunk=chunk2, interpret=interpret,
+            )
+            rad2u = outs2u[0:3]
+            md2u = outs2u[3:6]
+            mt2u = outs2u[6:9]
+            missed2u = outs2u[9]
+            hit2u = tuple(outs2u[10:10 + nb2])
+            aux2u = outs2u[10 + nb2:]
+            live2 = mask2 == 0.0
+            rad_q = tuple(rad1[i] + rad2u[i] for i in range(3))
+            md_q = tuple(jnp.where(live2, md2u[i], md1[i])
+                         for i in range(3))
+            mt_q = tuple(jnp.where(live2, mt2u[i], mt1[i])
+                         for i in range(3))
+            missed_q = missed1 + missed2u
+            hits_q = tuple(hit1) + hit2u
+            aux_q = ()
+            if with_aux:
+                aux_q = tuple(aux1) + tuple(
+                    ((aux2u[b * 4], aux2u[b * 4 + 1], aux2u[b * 4 + 2]),
+                     aux2u[b * 4 + 3])
+                    for b in range(nb2)
+                )
+            z = missed_q * 0.0
+            return (rad_q, md_q, mt_q, missed_q, (z, z, z), z, hits_q,
+                    aux_q if with_aux else None)
+
         if use_ladder:
             pre = lambda a: a[:r_q]
             suf = lambda a: a[r_q:]
-            outs_b1 = run_b(
+            b1_args = (
                 tuple(pre(c) for c in o_s), tuple(pre(c) for c in d_s),
                 tuple(pre(c) for c in thru_s), pre(pix_s), pre(samp_s),
-                pre(missedc), n_alive, nb,
+                pre(missedc),
             )
+            if use_split2:
+                outs_b1 = run_b_nested(*b1_args, n_alive)
+            else:
+                outs_b1 = run_b(*b1_args, n_alive, nb)
             suf_ops = (
                 tuple(suf(c) for c in o_s), tuple(suf(c) for c in d_s),
                 tuple(suf(c) for c in thru_s), suf(pix_s), suf(samp_s),

@@ -301,3 +301,29 @@ def planar_stack(rad_p):
     import jax.numpy as _jnp
 
     return _jnp.stack(rad_p, axis=-1)
+
+
+def test_mega_nested_split_matches_unsplit(_mega_env, monkeypatch):
+    # Second-level survivor compaction (ops/mega.py run_b_nested: bounces
+    # [S, S+2) at quarter width, re-pack, remaining bounces on a static
+    # half-of-quarter prefix) needs depth - split >= 4 to engage; the
+    # traced paths must match the unsplit kernel exactly and radiance to
+    # fp-regrouping ulps.
+    _mega_env(True)
+    scene = _controlled_scene()
+    cam = Camera.make(64, 64, origin=(0.0, 4.0, -14.0), look_at=(0.0, 1.5, 0.0))
+    sky = jnp.asarray(procedural_sky(8, 8))
+
+    def render():
+        r, n, t = render_radiance(scene, cam, sky, spp=1, max_depth=6, seed=3)
+        return np.asarray(r), np.asarray(n), np.asarray(t)
+
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "0")
+    r0, n0, t0 = render()
+    monkeypatch.setenv("POCA_MEGA_SPLIT", "2")
+    monkeypatch.setenv("POCA_MEGA_LADDER", "1")
+    monkeypatch.setenv("POCA_MEGA_SPLIT2", "1")
+    r1, n1, t1 = render()
+    np.testing.assert_allclose(r1, r0, atol=5e-7, rtol=5e-7)
+    np.testing.assert_array_equal(n1, n0)
+    np.testing.assert_array_equal(t1, t0)
