@@ -518,6 +518,14 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
 
                 outs2f = jax.lax.cond(nal2 > r_q2, s2_full, s2_prefix,
                                       ops2)
+                # layout firewall: cond outputs otherwise ride as
+                # [1, r_q] {T(1,128)} values into the expansion stack
+                outs2f = jax.tree.map(
+                    lambda a: jax.lax.optimization_barrier(
+                        jnp.reshape(a, (-1,))
+                    ),
+                    outs2f,
+                )
             else:
                 outs = run2(o2s, d2s, thru2s, pix2, samp2, mask2c, nal2)
                 outs2f = (outs[:4] + outs[6]
