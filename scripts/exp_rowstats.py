@@ -11,7 +11,21 @@ from cpppathtracer_tpu.models.scene import demo_scene
 from cpppathtracer_tpu.ops import fast
 from cpppathtracer_tpu.ops.pallas.mega_kernel import pallas_mega_trace, build_tables_T
 from cpppathtracer_tpu.ops.pallas.intersect_kernel import build_geom_mxu, build_geom_rows
-from scripts.exp_tileskip import morton_order
+
+def morton_order(w, h):
+    import numpy as _np
+    def part1by1(v):
+        v = v.astype(_np.uint64)
+        v = (v | (v << 16)) & _np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & _np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & _np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & _np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & _np.uint64(0x5555555555555555)
+        return v
+    xs = _np.arange(w, dtype=_np.uint64); ys = _np.arange(h, dtype=_np.uint64)
+    code = part1by1(xs)[None, :] | (part1by1(ys)[:, None] << _np.uint64(1))
+    return _np.argsort(code.reshape(-1), kind="stable").astype(_np.int32)
+
 
 def main():
     W = H = 1024
