@@ -48,6 +48,44 @@ def _float0_zero(x):
     return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
 
 
+def _res_pack_ok(gs, depth):
+    """Whether the custom-vjp residual hit planes ride as 16-bit pairs.
+
+    Static predicate (gs.counts is static): winner indices are < n_pad =
+    max(8, ceil8(sum(counts))) (build_tables_T), so (idx+1) fits a 16-bit
+    half whenever n_pad < 2^15.  Packing halves the residual bytes the
+    spp scan stacks per sample (8x s32[spp, R] -> 4x): profiled at
+    1024^2 the stack writes alone are ~1.0 ms/sample and the backward's
+    dynamic-slice reads another ~0.5 ms/sample.
+    """
+    na = sum(gs.counts)
+    return depth >= 2 and max(8, -(-na // 8) * 8) < 2 ** 15
+
+
+def _pack_hit_res(hit_idx):
+    """[depth] i32 planes -> [ceil(depth/2)] planes of (hi+1)<<16|(lo+1);
+    an odd tail plane rides unpacked."""
+    n = len(hit_idx)
+    packed = [
+        ((hit_idx[i] + 1) << 16) | (hit_idx[i + 1] + 1)
+        for i in range(0, n - 1, 2)
+    ]
+    if n % 2:
+        packed.append(hit_idx[n - 1])
+    return tuple(packed)
+
+
+def _unpack_hit_res(packed, depth):
+    out = []
+    for i in range(0, depth - 1, 2):
+        w = packed[i // 2]
+        out.append((w >> 16) - 1)  # halves are in [0, 2^15): >> is exact
+        out.append((w & 0xFFFF) - 1)
+    if depth % 2:
+        out.append(packed[-1])
+    return tuple(out)
+
+
 def _replay_chain(gs, o, d, thru, rad, alive, hit_planes, pixel_idx,
                   sample_idx, seed, start_bounce, with_aux):
     """The replayed bounce chain [start_bounce, start_bounce + len(hit
@@ -924,6 +962,8 @@ def _mega_fwd(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
         gs, camera, pixel_idx, sample_idx, seed, depth, interpret, with_aux,
         iota_rn,
     )
+    if _res_pack_ok(gs, depth):
+        hit_idx = _pack_hit_res(hit_idx)
     return out, (gs, camera, pixel_idx, sample_idx, seed, hit_idx)
 
 
@@ -944,6 +984,8 @@ def _mega_bwd(depth, interpret, with_aux, iota_rn, res, ct):
     # the XLA replay.
     use_pallas = force == "pallas" and not with_aux
     if use_pallas:
+        if _res_pack_ok(gs, depth):
+            hit_idx = _unpack_hit_res(hit_idx, depth)
         return _mega_bwd_pallas(
             depth, interpret, with_aux, gs, camera, pixel_idx, sample_idx,
             seed, hit_idx, ct,
@@ -962,7 +1004,11 @@ def _mega_bwd(depth, interpret, with_aux, iota_rn, res, ct):
             return a  # int-output cotangents (hit planes) are symbolic
         return jax.lax.optimization_barrier(jnp.reshape(a, (-1,)))
 
+    # flatten the (packed) residual planes first — half the relayout
+    # copies — then unpack to per-bounce winner indices.
     hit_idx = tuple(flat(h) for h in hit_idx)
+    if _res_pack_ok(gs, depth):
+        hit_idx = _unpack_hit_res(hit_idx, depth)
     ct = jax.tree.map(flat, ct)
 
     # Survivor-compacted replay (env POCA_MEGA_BWD_SPLIT=1): bounces >=
