@@ -513,7 +513,17 @@ def _kernel_forward(gs, camera, pixel_idx, sample_idx, seed, depth, interpret,
             pos2 = up2[12]
             nal2 = nal2v[0]
             nb2 = nb - 2
-            r_q2 = max(chunk2, (r_q // 2) // tile * tile)
+            # Stage 2 runs over the full quarter domain and relies on
+            # the kernel's own n_alive whole-tile skip (~2 us/tile): at
+            # this width the skipped-tile walk (~0.26 ms) is cheaper
+            # than a static half-prefix lax.cond, whose taken branch
+            # pays pad + layout-firewall copies (~0.74 ms/sample
+            # profiled).  POCA_MEGA_PREFIX2=1 re-enables the prefix
+            # (the win flips at the first level, where the domain is 4x
+            # wider — see the ladder above).
+            r_q2 = r_q
+            if os.environ.get("POCA_MEGA_PREFIX2", "") == "1":
+                r_q2 = max(chunk2, (r_q // 2) // tile * tile)
 
             def run2(o_c, d_c, thru_c, pix_c, samp_c, am_c, na_c):
                 return pallas_mega_trace(

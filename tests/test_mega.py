@@ -327,3 +327,10 @@ def test_mega_nested_split_matches_unsplit(_mega_env, monkeypatch):
     np.testing.assert_allclose(r1, r0, atol=5e-7, rtol=5e-7)
     np.testing.assert_array_equal(n1, n0)
     np.testing.assert_array_equal(t1, t0)
+    # static half-of-quarter prefix + spill cond (non-default since the
+    # full-domain tile-skip measured faster; kept env-gated)
+    monkeypatch.setenv("POCA_MEGA_PREFIX2", "1")
+    r2, n2, t2 = render()
+    np.testing.assert_array_equal(r2, r1)
+    np.testing.assert_array_equal(n2, n1)
+    np.testing.assert_array_equal(t2, t1)
