@@ -114,7 +114,8 @@ def _replay_chain(gs, o, d, thru, rad, alive, hit_planes, pixel_idx,
         # r4 advisor item).  gather_epilogue_p's t_safe/pos stay finite
         # on such lanes (pos falls back to o), so no NaNs can flow.
         hitrec, mats = planar.gather_epilogue_p(
-            gs, o, d, tmin, tmax, jnp.maximum(enc, 0)
+            gs, o, d, tmin, tmax, jnp.maximum(enc, 0),
+            firewall=os.environ.get("POCA_REPLAY_FIREWALL", "1") != "0",
         )
         hit = enc >= 0
         u1, u2, u3, _ = prng.uniforms4(seed, pixel_idx, sample_idx, 1 + b)

@@ -335,12 +335,20 @@ def object_hit_attrs_p(prim_type, center, radius, y_pos, height, o, d, tmin, tma
 # ---------------------------------------------------------------------------
 
 
-def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
+def gather_epilogue_p(gs, o, d, tmin, tmax, gidx, firewall=False):
     """Differentiable record fetch + hit attributes, planar layout.
 
     The packed record comes out TRANSPOSED — table_T[F, N] @ onehot[N, R]
     -> rec[F, R] — so each field slice rec[k] is a flat f32[R] row with
     perfect lane tiling (vs the [R, F] form whose minor dim is 17).
+
+    `firewall=True` (the mega backward replay sets it) reshapes each
+    record row to flat 1D behind an optimization_barrier: XLA lowers the
+    one-hot dot to a gather whose [F, R] {T(8,128)} layout makes every
+    row slice a {T(1,128)} value — 1/8 VPU width — and that narrow
+    layout leaks into the replay's compare/power chains (profiled ~1
+    ms/sample at 1024^2).  Off by default: the Pallas kernels never call
+    this, but the XLA wavefront path does and fuses differently.
     """
     na = sum(gs.counts)
     r_n = gidx.shape[0]
@@ -356,6 +364,10 @@ def gather_epilogue_p(gs, o, d, tmin, tmax, gidx):
     # geometric/sampling chains (see ops/fast.py table layout comment)
     rec = dot(gs.table_s)  # [F_S, R]
     rec_r = dot(gs.table_r)  # [F_R, R]
+    if firewall:
+        fw = lambda a: jax.lax.optimization_barrier(jnp.reshape(a, (-1,)))
+        rec = tuple(fw(rec[k]) for k in range(rec.shape[0]))
+        rec_r = tuple(fw(rec_r[k]) for k in range(rec_r.shape[0]))
 
     center = (rec[0], rec[1], rec[2])
     radius = rec[3]
